@@ -1,0 +1,116 @@
+"""Configuration dataclasses for the omniparser_tpu pipeline.
+
+Defaults mirror the reference server's hardcoded values
+(util/omniparser.py:29-30, omnitool/omniparserserver/omniparserserver.py:16-26):
+box_threshold=0.05, iou_threshold=0.7, caption batch 128, EasyOCR-style
+text_threshold=0.8.  Unlike the reference (argparse per entry point), one
+config object threads through the whole stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """YOLOv8-class icon detector settings.
+
+    The reference calls ultralytics with conf=BOX_TRESHOLD and NMS iou=0.1
+    (util/utils.py:421, 378-399); imgsz defaults to the raw image size.  We
+    run fixed-size letterboxed buckets instead so the jitted graph has
+    static shapes.
+    """
+
+    variant: str = "n"  # n / s / m  (icon_detect ships a small model)
+    num_classes: int = 1
+    # static letterbox buckets (longest side); input is letterboxed to
+    # (bucket, bucket).  Multiple buckets => multiple compiled graphs.
+    imgsz_buckets: Tuple[int, ...] = (640, 1280, 1920)
+    default_imgsz: int = 1280
+    box_threshold: float = 0.05  # reference BOX_TRESHOLD (server default)
+    nms_iou_threshold: float = 0.1  # reference get_som_labeled_img iou_threshold=0.1
+    max_detections: int = 512  # fixed-shape NMS output slots
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptionerConfig:
+    """Florence-2-class captioner settings.
+
+    Reference: crops resized to 64x64 (util/utils.py:92), batch 128
+    (util/utils.py:79-80), greedy max_new_tokens=20 (util/utils.py:115).
+    """
+
+    model_name: str = "florence2"
+    crop_size: int = 64
+    batch_size: int = 128
+    max_new_tokens: int = 20
+    prompt: str = "<CAPTION>"
+    dtype: str = "bfloat16"
+    # model dims (florence-2-base); overridden by loaded checkpoints
+    d_model: int = 768
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    num_heads: int = 12
+    vocab_size: int = 51289
+
+
+@dataclasses.dataclass(frozen=True)
+class OcrConfig:
+    """OCR stage settings (reference: util/utils.py:504-540).
+
+    backend: 'jax'   — our DBNet-style detector + CTC recognizer (on-TPU)
+             'easyocr'/'paddle' — host libraries if installed (gated import)
+             'null'  — no OCR (detection-only parse)
+    """
+
+    backend: str = "jax"
+    text_threshold: float = 0.8  # server default (util/omniparser.py:29)
+    max_text_boxes: int = 256
+    det_imgsz: int = 960
+    rec_height: int = 32
+    rec_max_width: int = 320
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end parse() configuration (reference: util/omniparser.py:16-32)."""
+
+    detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
+    captioner: CaptionerConfig = dataclasses.field(default_factory=CaptionerConfig)
+    ocr: OcrConfig = dataclasses.field(default_factory=OcrConfig)
+
+    # overlap/merge pass (util/omniparser.py:30: iou_threshold=0.7)
+    iou_threshold: float = 0.7
+    use_local_semantics: bool = True  # caption icons
+    output_coord_in_ratio: bool = True
+
+    # SOM overlay scaling (util/omniparser.py:21-27)
+    som_base_resolution: float = 3200.0
+    som_text_scale: float = 0.8
+    som_text_thickness: int = 2
+    som_text_padding: int = 3
+    som_thickness: int = 3
+
+    # batching across screenshots (the TPU scaling axis; reference has none)
+    max_batch_size: int = 8
+
+    # weight sources (None => random init, for tests/benches)
+    detector_weights: Optional[str] = None
+    captioner_weights: Optional[str] = None
+    ocr_weights: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """Serving layer (reference: omnitool/omniparserserver/omniparserserver.py:16-26)."""
+
+    host: str = "0.0.0.0"
+    port: int = 8000
+    # micro-batching scheduler: collect up to max_batch requests within
+    # batch_window_ms before launching one padded device batch.
+    batch_window_ms: float = 5.0
+    max_batch: int = 8

@@ -1,0 +1,77 @@
+"""Fixed-shape greedy NMS, fully on device.
+
+The reference delegates NMS to ultralytics/torchvision's CUDA kernel
+(util/utils.py:378-399 -> ultralytics model.predict(iou=...)).  Here it is a
+jit-compiled greedy pass over a static number of slots: sort once by score,
+then a `lax.fori_loop` that masks out later boxes overlapping each surviving
+box.  Exact greedy semantics (identical keep-set to torchvision.ops.nms),
+static shapes, no host round-trip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from omniparser_tpu.ops.boxes import box_area, pairwise_intersection
+
+
+def _plain_pairwise_iou(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric IoU without the containment ratios (torchvision semantics)."""
+    inter = pairwise_intersection(boxes, boxes)
+    area = box_area(boxes)
+    union = area[:, None] + area[None, :] - inter
+    return jnp.where(union > 0, inter / jnp.where(union == 0, 1.0, union), 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def nms_fixed_shape(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: jnp.ndarray | float,
+    max_out: int,
+):
+    """Greedy NMS over fixed slots.
+
+    Args:
+      boxes: [N, 4] xyxy (any scale).
+      scores: [N] confidences.
+      valid: [N] bool — padding slots must be False.
+      iou_threshold: suppress j if IoU(i, j) > threshold for a kept,
+        higher-scoring i (strict >, matching torchvision).
+      max_out: static output slot count.
+
+    Returns:
+      (boxes [max_out,4], scores [max_out], indices [max_out] into the input,
+       keep_valid [max_out] bool), score-sorted descending, padded with zeros.
+    """
+    n = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-masked_scores)
+    sboxes = boxes[order]
+    svalid = valid[order]
+
+    iou = _plain_pairwise_iou(sboxes)
+    pos = jnp.arange(n)
+
+    def body(i, keep):
+        # If slot i survives, kill every later slot overlapping it.
+        overlap_later = (iou[i] > iou_threshold) & (pos > i)
+        return jnp.where(keep[i] & overlap_later, False, keep)
+
+    keep = jax.lax.fori_loop(0, n, body, svalid)
+
+    # Compact the kept slots to the front (stable: score order preserved).
+    rank = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep, rank, max_out)  # dropped slots scatter out of range
+    out_boxes = jnp.zeros((max_out, 4), boxes.dtype).at[dest].set(sboxes, mode="drop")
+    out_scores = jnp.zeros((max_out,), scores.dtype).at[dest].set(
+        masked_scores[order], mode="drop"
+    )
+    out_idx = jnp.zeros((max_out,), jnp.int32).at[dest].set(order.astype(jnp.int32), mode="drop")
+    out_valid = jnp.zeros((max_out,), jnp.bool_).at[dest].set(keep, mode="drop")
+    return out_boxes, out_scores, out_idx, out_valid

@@ -1,0 +1,27 @@
+"""Test config: force CPU backend with 8 virtual devices for mesh tests.
+
+Must run before any jax import (SURVEY.md §4: multi-device without a cluster
+via --xla_force_host_platform_device_count).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_boxes(rng, n, scale=1.0, min_size=0.01, max_size=0.4):
+    """Random normalized xyxy boxes with positive extent."""
+    xy = rng.uniform(0, 1 - max_size, size=(n, 2))
+    wh = rng.uniform(min_size, max_size, size=(n, 2))
+    return np.concatenate([xy, xy + wh], axis=1).astype(np.float32) * scale
