@@ -1,0 +1,252 @@
+"""On-TPU OCR: DBNet-style text detector + CTC line recognizer.
+
+The reference delegates OCR to EasyOCR (torch CRAFT+CRNN) or PaddleOCR
+(C++ DBNet+SVTR) — util/utils.py:20-31, 504-540.  This module is the
+TPU-native replacement: both nets are small Flax models compiled by XLA;
+only the polygon extraction (connected components) and CTC string decode
+run on host.  Weight converters can load trained det/rec weights; with
+random init the stage is structurally exercised end-to-end (tests) but
+produces no text above threshold.
+
+Architecture notes (ours, not a port):
+  * detector: 4-stage conv backbone -> FPN merge at 1/4 scale -> 1-channel
+    probability map (DBNet-family semantics: threshold + component boxes);
+  * recognizer: conv stack collapsing height, transformer encoder over the
+    width axis, CTC head over a 96-char english charset; greedy decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, List, Tuple
+
+import cv2
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omniparser_tpu.config import OcrConfig
+from omniparser_tpu.ops.preprocess import crop_resize_batch, letterbox
+
+# charset: CTC blank at index 0
+CHARSET = (
+    " 0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+)
+NUM_CLASSES = len(CHARSET) + 1  # + blank
+
+
+class _ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class TextDetector(nn.Module):
+    """DBNet-style segmentation net: [B,S,S,3] -> [B,S/4,S/4,1] prob map."""
+
+    width: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w, dt = self.width, self.dtype
+        x = x.astype(dt)
+        c1 = _ConvBlock(w, 2, dt)(x, train)          # 1/2
+        c1 = _ConvBlock(w, 1, dt)(c1, train)
+        c2 = _ConvBlock(w * 2, 2, dt)(c1, train)     # 1/4
+        c2 = _ConvBlock(w * 2, 1, dt)(c2, train)
+        c3 = _ConvBlock(w * 4, 2, dt)(c2, train)     # 1/8
+        c3 = _ConvBlock(w * 4, 1, dt)(c3, train)
+        c4 = _ConvBlock(w * 8, 2, dt)(c3, train)     # 1/16
+        c4 = _ConvBlock(w * 8, 1, dt)(c4, train)
+
+        def up_to(t, ref):
+            b, h, wd, c = ref.shape
+            return jax.image.resize(t, (t.shape[0], h, wd, t.shape[-1]), "bilinear").astype(dt)
+
+        # FPN merge at 1/4
+        p4 = nn.Conv(w * 2, (1, 1), dtype=dt)(c4)
+        p3 = nn.Conv(w * 2, (1, 1), dtype=dt)(c3) + up_to(p4, c3)
+        p2 = nn.Conv(w * 2, (1, 1), dtype=dt)(c2) + up_to(p3, c2)
+        feat = jnp.concatenate([p2, up_to(p3, c2), up_to(p4, c2)], axis=-1)
+        feat = _ConvBlock(w * 2, 1, dt)(feat, train)
+        logits = nn.Conv(1, (1, 1), dtype=jnp.float32)(feat)
+        return jax.nn.sigmoid(logits)
+
+
+class TextRecognizer(nn.Module):
+    """CTC line recognizer: [B, 32, W, 3] -> [B, W/4, NUM_CLASSES] logits."""
+
+    width: int = 64
+    layers: int = 2
+    heads: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w, dt = self.width, self.dtype
+        x = x.astype(dt)
+        x = _ConvBlock(w, 1, dt)(x, train)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))            # 16 x W/2
+        x = _ConvBlock(w * 2, 1, dt)(x, train)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))            # 8 x W/4
+        x = _ConvBlock(w * 4, 1, dt)(x, train)
+        x = nn.max_pool(x, (2, 1), strides=(2, 1))            # 4 x W/4
+        x = _ConvBlock(w * 4, 1, dt)(x, train)
+        x = nn.max_pool(x, (4, 1), strides=(4, 1))            # 1 x W/4
+        seq = x.squeeze(1)                                    # [B, T, C]
+
+        # small transformer encoder over the width axis
+        d = seq.shape[-1]
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, seq.shape[1], d))
+        h = seq + pos.astype(dt)
+        for i in range(self.layers):
+            a = nn.LayerNorm(dtype=jnp.float32, name=f"ln1_{i}")(h).astype(dt)
+            a = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, dtype=dt, name=f"attn_{i}"
+            )(a, a)
+            h = h + a
+            m = nn.LayerNorm(dtype=jnp.float32, name=f"ln2_{i}")(h).astype(dt)
+            m = nn.Dense(d * 4, dtype=dt, name=f"mlp_in_{i}")(m)
+            m = nn.gelu(m)
+            m = nn.Dense(d, dtype=dt, name=f"mlp_out_{i}")(m)
+            h = h + m
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(h)
+        return nn.Dense(NUM_CLASSES, dtype=jnp.float32, name="ctc_head")(h)
+
+
+def ctc_greedy_decode(logits: np.ndarray) -> Tuple[str, float]:
+    """Greedy CTC: argmax per step, collapse repeats, drop blanks.
+    Returns (text, mean char prob)."""
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ids = probs.argmax(-1)
+    conf = probs.max(-1)
+    chars, confs, prev = [], [], -1
+    for t, i in enumerate(ids):
+        if i != prev and i != 0:
+            chars.append(CHARSET[i - 1])
+            confs.append(conf[t])
+        prev = i
+    if not chars:
+        return "", 0.0
+    return "".join(chars), float(np.mean(confs))
+
+
+def extract_text_boxes(
+    prob_map: np.ndarray,
+    bin_threshold: float = 0.3,
+    min_score: float = 0.3,
+    unclip: float = 1.8,
+    min_area: int = 4,
+) -> List[Tuple[List[int], float]]:
+    """Probability map (det scale) -> [(x1,y1,x2,y2 in map*4 px, score)].
+    DBNet-family postprocess: binarize, connected components, expand."""
+    binary = (prob_map > bin_threshold).astype(np.uint8)
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(binary, connectivity=4)
+    out = []
+    for i in range(1, n):
+        x, y, w, h, area = stats[i]
+        if area < min_area:
+            continue
+        score = float(prob_map[labels == i].mean())
+        if score < min_score:
+            continue
+        # unclip: expand box by a perimeter-proportional margin
+        margin = int(round((unclip - 1.0) * min(w, h) / 2))
+        x1 = (x - margin) * 4
+        y1 = (y - margin) * 4
+        x2 = (x + w + margin) * 4
+        y2 = (y + h + margin) * 4
+        out.append(([x1, y1, x2, y2], score))
+    return out
+
+
+@dataclasses.dataclass
+class JaxOCR:
+    """check_ocr_box-compatible backend running both nets under jit."""
+
+    config: OcrConfig
+    det_params: Any = None
+    rec_params: Any = None
+
+    def __post_init__(self):
+        self.det = TextDetector()
+        self.rec = TextRecognizer()
+        if self.det_params is None:
+            if self.config and getattr(self.config, "weights", None):
+                raise NotImplementedError("load via weights/convert_ocr.py")
+            k1, k2 = jax.random.split(jax.random.PRNGKey(42))
+            # det params are spatial-size independent -> init small & fast;
+            # rec has a width-dependent pos_embed -> init at real rec shape.
+            self.det_params = jax.jit(partial(self.det.init, train=False))(
+                k1, jnp.zeros((1, 64, 64, 3))
+            )
+            self.rec_params = jax.jit(partial(self.rec.init, train=False))(
+                k2, jnp.zeros((1, self.config.rec_height, self.config.rec_max_width, 3))
+            )
+        self._det_fn = jax.jit(partial(self.det.apply, train=False))
+        self._rec_fn = jax.jit(partial(self.rec.apply, train=False))
+
+    def recognize(self, image_rgb, padded_dev=None, orig_hw=None):
+        cfg = self.config
+        h, w = image_rgb.shape[:2]
+        if padded_dev is None:
+            from omniparser_tpu.ops.preprocess import pad_to_bucket, pick_bucket_2d
+
+            hb, wb = pick_bucket_2d(h, w)
+            padded, _ = pad_to_bucket(np.asarray(image_rgb), hb, wb)
+            padded_dev = jnp.asarray(padded)
+            orig_hw = jnp.asarray([h, w], jnp.int32)
+
+        # 1) detect text regions on the letterboxed det input
+        img, r, (pad_y, pad_x) = letterbox(padded_dev, orig_hw, cfg.det_imgsz)
+        prob = np.asarray(self._det_fn(self.det_params, img[None])[0, ..., 0])
+        candidates = extract_text_boxes(prob, min_score=0.3)
+        if not candidates:
+            return [], []
+
+        # map det-scale boxes back to original pixels
+        r_f, py, px = float(r), float(pad_y), float(pad_x)
+        boxes_px = []
+        for (x1, y1, x2, y2), _score in candidates[: cfg.max_text_boxes]:
+            bx1 = max((x1 - px) / r_f, 0.0)
+            by1 = max((y1 - py) / r_f, 0.0)
+            bx2 = min((x2 - px) / r_f, w)
+            by2 = min((y2 - py) / r_f, h)
+            if bx2 - bx1 >= 1 and by2 - by1 >= 1:
+                boxes_px.append([int(bx1), int(by1), int(bx2), int(by2)])
+        if not boxes_px:
+            return [], []
+
+        # 2) recognize: device crop-gather to fixed line shape, CTC decode
+        scale = np.array([w, h, w, h], np.float32)
+        norm = np.asarray(boxes_px, np.float32) / scale
+        # fixed batch: pad to a multiple of 32 lines
+        n = len(norm)
+        pad_n = -(-n // 32) * 32
+        norm_p = np.zeros((pad_n, 4), np.float32)
+        norm_p[:n] = norm
+        crops = crop_resize_batch(
+            padded_dev, orig_hw, jnp.asarray(norm_p), (cfg.rec_height, cfg.rec_max_width)
+        )
+        logits = np.asarray(self._rec_fn(self.rec_params, crops / 255.0))
+
+        texts, out_boxes = [], []
+        for i in range(n):
+            text, conf = ctc_greedy_decode(logits[i])
+            if text and conf > cfg.text_threshold:
+                texts.append(text)
+                out_boxes.append(boxes_px[i])
+        return texts, out_boxes

@@ -119,17 +119,19 @@ def crop_resize_batch(
     padded_u8: jnp.ndarray,
     orig_hw: jnp.ndarray,
     boxes_norm: jnp.ndarray,
-    out_size: int = 64,
+    out_size: int | Tuple[int, int] = 64,
 ):
-    """Gather N normalized-xyxy boxes into N [out_size,out_size,3] patches.
+    """Gather N normalized-xyxy boxes into N [out_h,out_w,3] patches.
 
     Device-side replacement for the reference's per-crop host loop
     (util/utils.py:87-93: int-truncated crop then cv2.resize INTER_LINEAR).
     Semantics matched: integer crop bounds via trunc, half-pixel-centre
     bilinear sampling, edge clamp inside the crop.
 
+    out_size: int (square) or (out_h, out_w) — e.g. OCR line crops.
     Returns float32 patches in [0,255] (caller normalizes per model).
     """
+    out_h, out_w = (out_size, out_size) if isinstance(out_size, int) else out_size
     h = orig_hw[0].astype(jnp.float32)
     w = orig_hw[1].astype(jnp.float32)
     img = padded_u8.astype(jnp.float32)
@@ -143,8 +145,8 @@ def crop_resize_batch(
         cw = jnp.maximum(x2 - x1, 1.0)
         ch = jnp.maximum(y2 - y1, 1.0)
         # cv2.resize half-pixel centers: src = (dst + 0.5) * (crop/out) - 0.5
-        js = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (cw / out_size) - 0.5
-        is_ = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (ch / out_size) - 0.5
+        js = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (cw / out_w) - 0.5
+        is_ = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (ch / out_h) - 0.5
         xs = jnp.clip(x1 + js, x1, x2 - 1.0)
         ys = jnp.clip(y1 + is_, y1, y2 - 1.0)
         # also clamp into the valid (unpadded) image region

@@ -1,0 +1,101 @@
+import numpy as np
+import pytest
+
+from omniparser_tpu.config import CaptionerConfig, DetectorConfig, OcrConfig, PipelineConfig
+from omniparser_tpu.pipeline import Omniparser, SOMPipeline
+from omniparser_tpu.utils.image import decode_base64_image, encode_image_base64
+
+SOURCES = {"box_ocr_content_ocr", "box_yolo_content_ocr", "box_yolo_content_yolo"}
+
+
+@pytest.fixture(scope="module")
+def small_config():
+    return PipelineConfig(
+        detector=DetectorConfig(default_imgsz=160, max_detections=32, box_threshold=0.05),
+        captioner=CaptionerConfig(batch_size=8, crop_size=32),
+        ocr=OcrConfig(backend="null"),
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline(small_config):
+    return SOMPipeline(small_config)
+
+
+class FakeOCR:
+    def __init__(self, texts, boxes):
+        self.texts, self.boxes = texts, boxes
+
+    def recognize(self, image_rgb, padded_dev=None, orig_hw=None):
+        return self.texts, self.boxes
+
+
+def test_parse_image_schema(pipeline, rng):
+    img = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    annotated, label_coords, elements = pipeline.parse_image(img)
+    assert annotated.shape == img.shape and annotated.dtype == np.uint8
+    for i, e in enumerate(elements):
+        assert set(e) == {"type", "bbox", "interactivity", "content", "source"}
+        assert e["type"] in ("text", "icon")
+        assert e["source"] in SOURCES
+        assert len(e["bbox"]) == 4
+        assert all(0.0 <= v <= 1.0 for v in e["bbox"])
+    assert set(label_coords) == {str(i) for i in range(len(elements))}
+    # ratio coords (output_coord_in_ratio=True default)
+    for v in label_coords.values():
+        assert all(-0.01 <= x <= 1.01 for x in v)
+
+
+def test_element_ordering_content_none_last(small_config, rng):
+    # OCR text that overlaps nothing: text elems first, captioned icons last
+    ocr = FakeOCR(["hello"], [[5, 5, 40, 15]])
+    p = SOMPipeline(small_config, ocr=ocr)
+    img = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    _, _, elements = p.parse_image(img)
+    kinds = [e["type"] for e in elements]
+    if "text" in kinds and "icon" in kinds:
+        assert kinds.index("icon") > kinds.index("text")
+    # every element ends with content set (captioner fills None)
+    assert all(e["content"] is not None for e in elements)
+
+
+def test_content_lines_format(pipeline, rng):
+    img = rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+    _, _, elements = pipeline.parse_image(img)
+    lines = pipeline.content_lines(elements)
+    for i, line in enumerate(lines):
+        assert line.startswith(("Text Box ID", "Icon Box ID"))
+        assert f"ID {i}:" in line
+
+
+def test_omniparser_facade_base64_roundtrip(small_config, rng):
+    img = rng.integers(0, 255, (100, 140, 3), dtype=np.uint8)
+    b64 = encode_image_base64(img)
+    parser = Omniparser.__new__(Omniparser)
+    parser.config = small_config
+    parser.pipeline = SOMPipeline(small_config)
+    som_b64, elements = parser.parse(b64)
+    out = decode_base64_image(som_b64)
+    assert out.shape == img.shape
+    assert isinstance(elements, list)
+
+
+def test_timings_recorded(pipeline, rng):
+    img = rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+    pipeline.parse_image(img)
+    assert {"upload", "ocr", "detect", "merge", "caption", "annotate"} <= set(
+        pipeline.last_timings
+    )
+
+
+def test_annotate_label_positions(rng):
+    from omniparser_tpu.annotate import annotate
+
+    img = rng.integers(0, 255, (200, 200, 3), dtype=np.uint8)
+    boxes = np.array([[0.3, 0.3, 0.2, 0.2], [0.7, 0.7, 0.2, 0.2]], np.float32)
+    scene, coords = annotate(img, boxes)
+    assert scene.shape == img.shape
+    assert set(coords) == {"0", "1"}
+    # xywh pixel coords
+    x, y, w, h = coords["0"]
+    assert w == pytest.approx(0.2 * 200, abs=1) and h == pytest.approx(0.2 * 200, abs=1)
