@@ -44,6 +44,7 @@ class CaptionerConfig:
     """
 
     model_name: str = "florence2"
+    backend: str = "florence"  # 'florence' | 'null' (stub for tests)
     crop_size: int = 64
     batch_size: int = 128
     max_new_tokens: int = 20

@@ -90,14 +90,17 @@ class SOMPipeline:
         self.detector_params = detector_params
 
         if captioner is None:
-            if config.use_local_semantics and config.captioner_weights:
+            if not config.use_local_semantics or config.captioner.backend == "null":
+                captioner = NullCaptioner()
+            else:
                 from omniparser_tpu.models.florence2 import FlorenceCaptioner
 
-                captioner = FlorenceCaptioner.from_checkpoint(
-                    config.captioner_weights, config.captioner
-                )
-            else:
-                captioner = NullCaptioner()
+                if config.captioner_weights:
+                    captioner = FlorenceCaptioner.from_checkpoint(
+                        config.captioner_weights, config.captioner
+                    )
+                else:
+                    captioner = FlorenceCaptioner(config.captioner)
         self.captioner = captioner
 
         if ocr is None:

@@ -12,7 +12,7 @@ SOURCES = {"box_ocr_content_ocr", "box_yolo_content_ocr", "box_yolo_content_yolo
 def small_config():
     return PipelineConfig(
         detector=DetectorConfig(default_imgsz=160, max_detections=32, box_threshold=0.05),
-        captioner=CaptionerConfig(batch_size=8, crop_size=32),
+        captioner=CaptionerConfig(backend="null", batch_size=8, crop_size=32),
         ocr=OcrConfig(backend="null"),
     )
 
