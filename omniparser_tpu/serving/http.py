@@ -1,0 +1,145 @@
+"""HTTP serving with the reference's REST contract.
+
+Endpoints (omnitool/omniparserserver/omniparserserver.py:34-48):
+  POST /parse/  {"base64_image": ...} ->
+      {"som_image_base64": ..., "parsed_content_list": [...], "latency": s}
+  GET  /probe/  -> {"message": "Omniparser API ready"}
+
+Implementation: stdlib ThreadingHTTPServer (fastapi/uvicorn are not in this
+image) + MicroBatcher so concurrent requests share padded device batches.
+
+CLI flags mirror the reference server's argparse (omniparserserver.py:16-26).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from omniparser_tpu.config import PipelineConfig, ServerConfig
+
+
+class OmniparserServer:
+    def __init__(self, pipeline_config: PipelineConfig, server_config: ServerConfig = None,
+                 pipeline=None):
+        from omniparser_tpu.pipeline import SOMPipeline
+        from omniparser_tpu.serving.batcher import MicroBatcher
+        from omniparser_tpu.utils.image import decode_base64_image, encode_image_base64
+
+        self.server_config = server_config or ServerConfig()
+        self.pipeline = pipeline or SOMPipeline(pipeline_config)
+        self._decode = decode_base64_image
+        self._encode = encode_image_base64
+
+        def process_batch(images_b64):
+            out = []
+            for b64 in images_b64:
+                img = self._decode(b64)
+                annotated, _, elements = self.pipeline.parse_image(img)
+                out.append((self._encode(annotated), elements))
+            return out
+
+        self.batcher = MicroBatcher(
+            process_batch,
+            max_batch=self.server_config.max_batch,
+            batch_window_ms=self.server_config.batch_window_ms,
+        )
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    def parse(self, base64_image: str):
+        t0 = time.perf_counter()
+        som_b64, elements = self.batcher.submit(base64_image).result()
+        return {
+            "som_image_base64": som_b64,
+            "parsed_content_list": elements,
+            "latency": time.perf_counter() - t0,
+        }
+
+    # ------------------------------------------------------------------ #
+
+    def make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.rstrip("/") == "/probe":
+                    self._send(200, {"message": "Omniparser API ready"})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path.rstrip("/") != "/parse":
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    data = json.loads(self.rfile.read(length) or b"{}")
+                    b64 = data["base64_image"]
+                except (json.JSONDecodeError, KeyError) as e:
+                    self._send(400, {"error": f"bad request: {e}"})
+                    return
+                try:
+                    self._send(200, server.parse(b64))
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": str(e)})
+
+        return Handler
+
+    def serve_forever(self, host=None, port=None):
+        host = host or self.server_config.host
+        port = port if port is not None else self.server_config.port
+        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        print(f"omniparser_tpu server on {host}:{self._httpd.server_address[1]}")
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        if self._httpd:
+            self._httpd.shutdown()
+        self.batcher.close()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("omniparser_tpu server")
+    ap.add_argument("--som_model_path", default=None)
+    ap.add_argument("--caption_model_name", default="florence2")
+    ap.add_argument("--caption_model_path", default=None)
+    ap.add_argument("--device", default="tpu")  # accepted for CLI parity
+    ap.add_argument("--BOX_TRESHOLD", type=float, default=0.05)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--ocr_backend", default="jax")
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    base = PipelineConfig()
+    cfg = dataclasses.replace(
+        base,
+        detector=dataclasses.replace(base.detector, box_threshold=args.BOX_TRESHOLD),
+        ocr=dataclasses.replace(base.ocr, backend=args.ocr_backend),
+        detector_weights=args.som_model_path,
+        captioner_weights=args.caption_model_path,
+    )
+    server = OmniparserServer(cfg, ServerConfig(host=args.host, port=args.port))
+    server.pipeline.warmup()
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+import http.server
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from omniparser_tpu.agent.llm import MockLLM, estimate_cost
+from omniparser_tpu.agent.loop import sampling_loop_sync
+from omniparser_tpu.agent.mock_vm import MockVM
+from omniparser_tpu.agent.tools.computer import ComputerTool, ToolCollection, ToolResult
+from omniparser_tpu.agent.vlm_agent import (
+    VLMAgent,
+    box_id_to_coords,
+    make_tool_use_blocks,
+    parse_agent_response,
+)
+from omniparser_tpu.config import PipelineConfig, ServerConfig
+from omniparser_tpu.serving.http import OmniparserServer
+
+
+@pytest.fixture(scope="module")
+def vm():
+    vm = MockVM()
+    url = vm.start()
+    yield vm, url
+    vm.stop()
+
+
+@pytest.fixture(scope="module")
+def parse_server():
+    class FakePipeline:
+        def parse_image(self, image_rgb):
+            elems = [
+                {"type": "text", "bbox": [0.1, 0.1, 0.3, 0.15], "interactivity": False,
+                 "content": "File", "source": "box_ocr_content_ocr"},
+                {"type": "icon", "bbox": [0.5, 0.5, 0.6, 0.6], "interactivity": True,
+                 "content": "save button", "source": "box_yolo_content_yolo"},
+            ]
+            return image_rgb, {}, elems
+
+    srv = OmniparserServer(PipelineConfig(), ServerConfig(port=0), pipeline=FakePipeline())
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    srv.batcher.close()
+
+
+def test_mock_vm_contract(vm):
+    import requests
+
+    _, url = vm
+    assert requests.get(f"{url}/probe").status_code == 200
+    shot = requests.get(f"{url}/screenshot").json()["screenshot"]
+    assert len(shot) > 1000
+    r = requests.post(f"{url}/execute", json={"command": ["python", "-c", "print(1)"]})
+    assert r.json()["status"] == "success"
+    r = requests.post(f"{url}/execute", json={})
+    assert r.status_code == 400
+
+
+def test_computer_tool_actions(vm):
+    vm_obj, url = vm
+    tool = ComputerTool(url, settle_s=0.0)
+    n0 = len(vm_obj.commands)
+    res = tool(action="left_click", coordinate=[512, 384])
+    assert res.error is None
+    assert any("pyautogui.click()" in " ".join(c) for c in vm_obj.commands[n0:])
+    # XGA (1024x768) -> 1920x1080 scaling: 512 -> 960, 384 -> 540
+    assert any("moveTo(960, 540)" in " ".join(c) for c in vm_obj.commands[n0:])
+
+    res = tool(action="type", text="hello 'world'")
+    assert res.error is None
+    res = tool(action="screenshot")
+    assert res.base64_image and len(res.base64_image) > 1000
+
+    from omniparser_tpu.agent.tools.computer import ToolError
+
+    with pytest.raises(ToolError):
+        tool(action="left_click_drag")  # missing coordinate
+    with pytest.raises(ToolError):
+        tool(action="fly")
+
+
+def test_tool_collection_unknown_tool(vm):
+    _, url = vm
+    tools = ToolCollection(ComputerTool(url, settle_s=0.0))
+    res = tools.run(name="nope", tool_input={})
+    assert res.error
+
+
+def test_parse_agent_response_variants():
+    fenced = 'blah\n```json\n{"Reasoning": "r", "Next Action": "left_click", "Box ID": 1}\n```'
+    assert parse_agent_response(fenced)["Box ID"] == 1
+    bare = '{"Reasoning": "r", "Next Action": "None"}'
+    assert parse_agent_response(bare)["Next Action"] == "None"
+
+
+def test_box_id_to_coords():
+    elems = [{"bbox": [0.2, 0.4, 0.4, 0.6]}]
+    assert box_id_to_coords(0, elems, (1000, 500)) == (300, 250)
+
+
+def test_make_tool_use_blocks_click_and_type():
+    elems = [{"bbox": [0.0, 0.0, 0.2, 0.2]}]
+    blocks = make_tool_use_blocks(
+        {"Next Action": "left_click", "Box ID": 0}, elems, (100, 100)
+    )
+    assert [b["input"]["action"] for b in blocks] == ["mouse_move", "left_click"]
+    blocks = make_tool_use_blocks(
+        {"Next Action": "type", "Box ID": 0, "value": "hi"}, elems, (100, 100)
+    )
+    assert [b["input"]["action"] for b in blocks] == ["left_click", "type"]
+    assert blocks[-1]["input"]["text"] == "hi"
+    assert make_tool_use_blocks({"Next Action": "None"}, elems, (100, 100)) == []
+
+
+def test_sampling_loop_end_to_end(vm, parse_server):
+    """Full loop against mock VM + real HTTP parse server + scripted LLM."""
+    vm_obj, vm_url = vm
+    llm = MockLLM([
+        '```json\n{"Reasoning": "click save", "Next Action": "left_click", "Box ID": 1}\n```',
+        '```json\n{"Reasoning": "done", "Next Action": "None"}\n```',
+    ])
+    turns = list(
+        sampling_loop_sync(
+            task="save the file", model="omniparser + gpt-4o", provider="mock",
+            llm_client=llm, omniparser_url=parse_server, vm_url=vm_url, max_turns=5,
+        )
+    )
+    assert len(turns) == 2
+    assert turns[0]["action"]["Next Action"] == "left_click"
+    assert turns[1]["action"]["Next Action"] == "None"
+    # the click actually reached the mock VM
+    assert any("pyautogui.click()" in " ".join(c) for c in vm_obj.commands)
+    # screen_info lines reached the LLM prompt
+    sys_prompt = llm.calls[0]["system"]
+    assert "ID: 1, Icon: save button" in sys_prompt
+
+
+def test_orchestrated_agent_trajectory(tmp_path, vm, parse_server):
+    vm_obj, vm_url = vm
+    llm = MockLLM([
+        '```json\n{"plan": ["open menu", "click save"]}\n```',
+        '```json\n{"Reasoning": "click", "Next Action": "left_click", "Box ID": 1}\n```',
+        '```json\n{"is_request_satisfied": {"answer": true, "reason": "done"},'
+        ' "is_progress_being_made": {"answer": true, "reason": "ok"},'
+        ' "next_instruction": {"answer": "stop", "reason": "done"}}\n```',
+        '```json\n{"Reasoning": "done", "Next Action": "None"}\n```',
+    ])
+    save = str(tmp_path / "traj")
+    turns = list(
+        sampling_loop_sync(
+            task="save", model="omniparser + gpt-4o-orchestrated", provider="mock",
+            llm_client=llm, omniparser_url=parse_server, vm_url=vm_url,
+            max_turns=5, save_folder=save,
+        )
+    )
+    assert len(turns) == 2
+    import os
+
+    assert os.path.exists(os.path.join(save, "plan.json"))
+    lines = open(os.path.join(save, "trajectory.json")).read().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert {"step", "action", "ledger", "latency_s"} <= set(rec)
+    assert os.path.exists(os.path.join(save, "step0_som.png"))
+
+
+def test_estimate_cost():
+    assert estimate_cost("gpt-4o", 1_000_000, 0) == 2.5
+    assert estimate_cost("unknown-model", 100, 100) == 0.0
+
+
+def test_anthropic_prune_images():
+    from omniparser_tpu.agent.anthropic_agent import prune_images
+
+    def msg(n_imgs):
+        return {"role": "user", "content": [
+            {"type": "tool_result", "tool_use_id": "x", "content": [
+                {"type": "image", "source": {"data": f"img{i}"}} for i in range(n_imgs)
+            ]}
+        ]}
+
+    msgs = [msg(1), msg(1), msg(1)]
+    pruned = prune_images(msgs, keep_n=2)
+    total = sum(
+        1
+        for m in pruned
+        for b in m["content"]
+        for c in b["content"]
+        if c.get("type") == "image"
+    )
+    assert total == 2
+    # newest messages keep their images
+    assert pruned[-1]["content"][0]["content"]

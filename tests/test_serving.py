@@ -1,0 +1,129 @@
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from omniparser_tpu.config import PipelineConfig, ServerConfig
+from omniparser_tpu.serving.batcher import MicroBatcher
+from omniparser_tpu.serving.http import OmniparserServer
+from omniparser_tpu.utils.image import encode_image_base64
+
+
+class FakePipeline:
+    """Stands in for SOMPipeline: echoes image size as one element."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def parse_image(self, image_rgb):
+        self.calls += 1
+        h, w = image_rgb.shape[:2]
+        elem = {"type": "icon", "bbox": [0, 0, 1, 1], "interactivity": True,
+                "content": f"{w}x{h}", "source": "box_yolo_content_yolo"}
+        return image_rgb, {"0": [0, 0, 1, 1]}, [elem]
+
+
+@pytest.fixture()
+def server():
+    srv = OmniparserServer(PipelineConfig(), ServerConfig(port=0), pipeline=FakePipeline())
+    import http.server
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield srv, port
+    httpd.shutdown()
+    srv.batcher.close()
+
+
+def _req(port, path, payload=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    if payload is None:
+        r = urllib.request.urlopen(url, timeout=10)
+    else:
+        req = urllib.request.Request(
+            url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+        )
+        r = urllib.request.urlopen(req, timeout=10)
+    return r.status, json.loads(r.read())
+
+
+def test_probe(server):
+    _, port = server
+    status, body = _req(port, "/probe/")
+    assert status == 200 and "ready" in body["message"]
+
+
+def test_parse_contract(server, rng):
+    _, port = server
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    status, body = _req(port, "/parse/", {"base64_image": encode_image_base64(img)})
+    assert status == 200
+    assert set(body) == {"som_image_base64", "parsed_content_list", "latency"}
+    assert body["parsed_content_list"][0]["content"] == "48x32"
+    assert isinstance(body["latency"], float)
+
+
+def test_parse_bad_request(server):
+    _, port = server
+    try:
+        _req(port, "/parse/", {"wrong_key": "x"})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_unknown_path(server):
+    _, port = server
+    try:
+        _req(port, "/nope")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+import urllib.error  # noqa: E402
+
+
+def test_microbatcher_groups_requests():
+    batches = []
+
+    def process(items):
+        batches.append(list(items))
+        return [i * 2 for i in items]
+
+    mb = MicroBatcher(process, max_batch=4, batch_window_ms=50)
+    futs = [mb.submit(i) for i in range(4)]
+    assert [f.result(timeout=5) for f in futs] == [0, 2, 4, 6]
+    mb.close()
+    assert any(len(b) > 1 for b in batches), f"no batching happened: {batches}"
+
+
+def test_microbatcher_propagates_errors():
+    def process(items):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(process, max_batch=2, batch_window_ms=1)
+    fut = mb.submit(1)
+    with pytest.raises(RuntimeError, match="boom"):
+        fut.result(timeout=5)
+    mb.close()
+
+
+def test_microbatcher_respects_max_batch():
+    sizes = []
+
+    def process(items):
+        sizes.append(len(items))
+        time.sleep(0.02)
+        return items
+
+    mb = MicroBatcher(process, max_batch=2, batch_window_ms=100)
+    futs = [mb.submit(i) for i in range(6)]
+    [f.result(timeout=5) for f in futs]
+    mb.close()
+    assert max(sizes) <= 2
