@@ -25,28 +25,39 @@ BASELINE_SHOTS_PER_SEC = 1.0 / 0.6  # A100 V2 reference point (see docstring)
 
 
 def main():
+    import os
+
     from omniparser_tpu.config import PipelineConfig
     from omniparser_tpu.pipeline import SOMPipeline
     from omniparser_tpu.utils.image import load_image_rgb
 
-    img = load_image_rgb("/root/reference/imgs/demo_image.jpg")
+    names = ["demo_image.jpg", "google_page.png", "windows_home.png", "mobile.png",
+             "ios.png", "word.png", "excel.png", "onenote.png"]
+    imgs = [
+        load_image_rgb(f"/root/reference/imgs/{n}")
+        for n in names
+        if os.path.exists(f"/root/reference/imgs/{n}")
+    ]
 
     pipeline = SOMPipeline(PipelineConfig())
-    # warmup: compile every device graph
-    for _ in range(2):
-        pipeline.parse_image(img)
+    pipeline.parse_batch(imgs)  # warmup: compile every bucket's graphs
 
-    n = 10
-    t0 = time.perf_counter()
+    # single-screenshot latency (serving p50)
     lat = []
-    for _ in range(n):
+    for _ in range(6):
         t = time.perf_counter()
-        pipeline.parse_image(img)
+        pipeline.parse_image(imgs[0])
         lat.append(time.perf_counter() - t)
-    wall = time.perf_counter() - t0
-
-    shots_per_sec = n / wall
     p50 = float(np.median(lat))
+
+    # pipelined batched throughput (the serving configuration; BASELINE
+    # config 4 "multi-screenshot batched parse")
+    rounds = 3
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        pipeline.parse_batch(imgs)
+    wall = time.perf_counter() - t0
+    shots_per_sec = rounds * len(imgs) / wall
     print(
         json.dumps(
             {

@@ -568,17 +568,16 @@ class FlorenceCaptioner:
         x = crops_u8 / 255.0
         return (x - _IMAGE_MEAN) / _IMAGE_STD
 
+    def tokens_to_text(self, token_row) -> str:
+        """One generated token row -> caption string (specials stripped)."""
+        ids = [int(t) for t in token_row if t not in
+               (self.dims.pad_token_id, self.dims.eos_token_id, self.dims.bos_token_id)]
+        return self.tokenizer.decode(ids).strip()
+
     def caption_crops(self, crops, valid) -> List[str]:
         """crops: [N, S, S, 3] float in [0,255] (device); valid: [N] bool.
         Returns captions for valid slots, in order."""
         n = crops.shape[0]
         prompt = jnp.asarray(np.tile(self.prompt_ids[None], (n, 1)))
         tokens = np.asarray(self._generate(self.params, self.preprocess(crops), prompt))
-        out = []
-        for i in range(n):
-            if not valid[i]:
-                continue
-            ids = [int(t) for t in tokens[i] if t not in
-                   (self.dims.pad_token_id, self.dims.eos_token_id, self.dims.bos_token_id)]
-            out.append(self.tokenizer.decode(ids).strip())
-        return out
+        return [self.tokens_to_text(tokens[i]) for i in range(n) if valid[i]]

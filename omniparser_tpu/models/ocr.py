@@ -126,6 +126,36 @@ class TextRecognizer(nn.Module):
         return nn.Dense(NUM_CLASSES, dtype=jnp.float32, name="ctc_head")(h)
 
 
+def ctc_device_stats(logits: jnp.ndarray):
+    """Device-side CTC statistics for a batch: logits [M, T, C] ->
+    (argmax ids [M, T] int32, mean char confidence [M], char count [M]).
+
+    Mirrors ctc_greedy_decode's collapse rule (repeats + blanks dropped) so
+    the confidence threshold can gate OCR boxes inside the fused graph;
+    the string itself is assembled on host from the returned ids.
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    maxp = jnp.max(probs, axis=-1)
+    prev = jnp.concatenate([jnp.full_like(ids[:, :1], -1), ids[:, :-1]], axis=1)
+    char_mask = (ids != 0) & (ids != prev)
+    n_chars = char_mask.sum(axis=1)
+    conf = jnp.where(
+        n_chars > 0, (maxp * char_mask).sum(axis=1) / jnp.maximum(n_chars, 1), 0.0
+    )
+    return ids, conf, n_chars
+
+
+def ids_to_text(ids_row: np.ndarray) -> str:
+    """Host: collapse an argmax id row to its CTC string."""
+    chars, prev = [], -1
+    for i in ids_row:
+        if i != prev and i != 0:
+            chars.append(CHARSET[i - 1])
+        prev = i
+    return "".join(chars)
+
+
 def ctc_greedy_decode(logits: np.ndarray) -> Tuple[str, float]:
     """Greedy CTC: argmax per step, collapse repeats, drop blanks.
     Returns (text, mean char prob)."""
@@ -199,6 +229,33 @@ class JaxOCR:
         self._det_fn = jax.jit(partial(self.det.apply, train=False))
         self._rec_fn = jax.jit(partial(self.rec.apply, train=False))
 
+    def dispatch_det(self, padded_dev, orig_hw):
+        """Async: dispatch letterbox + det net; returns device futures
+        (prob_map [Hd/4, Wd/4], r, (pad_y, pad_x)) without blocking."""
+        img, r, pads = letterbox(padded_dev, orig_hw, self.config.det_imgsz)
+        prob = self._det_fn(self.det_params, img[None])[0, ..., 0]
+        return prob, r, pads
+
+    def candidates_from_prob(self, prob_np, r, pads, h: int, w: int):
+        """Host half: connected components on the downloaded prob map."""
+        cfg = self.config
+        candidates = extract_text_boxes(np.asarray(prob_np), min_score=0.3)
+        r_f, py, px = float(r), float(pads[0]), float(pads[1])
+        boxes_px = []
+        for (x1, y1, x2, y2), _score in candidates[: cfg.max_text_boxes]:
+            bx1 = max((x1 - px) / r_f, 0.0)
+            by1 = max((y1 - py) / r_f, 0.0)
+            bx2 = min((x2 - px) / r_f, w)
+            by2 = min((y2 - py) / r_f, h)
+            if bx2 - bx1 >= 1 and by2 - by1 >= 1:
+                boxes_px.append([int(bx1), int(by1), int(bx2), int(by2)])
+        return boxes_px
+
+    def detect_candidates(self, padded_dev, orig_hw, h: int, w: int):
+        """Blocking convenience: dispatch + download + components."""
+        prob, r, pads = self.dispatch_det(padded_dev, orig_hw)
+        return self.candidates_from_prob(prob, r, pads, h, w)
+
     def recognize(self, image_rgb, padded_dev=None, orig_hw=None):
         cfg = self.config
         h, w = image_rgb.shape[:2]
@@ -210,23 +267,7 @@ class JaxOCR:
             padded_dev = jnp.asarray(padded)
             orig_hw = jnp.asarray([h, w], jnp.int32)
 
-        # 1) detect text regions on the letterboxed det input
-        img, r, (pad_y, pad_x) = letterbox(padded_dev, orig_hw, cfg.det_imgsz)
-        prob = np.asarray(self._det_fn(self.det_params, img[None])[0, ..., 0])
-        candidates = extract_text_boxes(prob, min_score=0.3)
-        if not candidates:
-            return [], []
-
-        # map det-scale boxes back to original pixels
-        r_f, py, px = float(r), float(pad_y), float(pad_x)
-        boxes_px = []
-        for (x1, y1, x2, y2), _score in candidates[: cfg.max_text_boxes]:
-            bx1 = max((x1 - px) / r_f, 0.0)
-            by1 = max((y1 - py) / r_f, 0.0)
-            bx2 = min((x2 - px) / r_f, w)
-            by2 = min((y2 - py) / r_f, h)
-            if bx2 - bx1 >= 1 and by2 - by1 >= 1:
-                boxes_px.append([int(bx1), int(by1), int(bx2), int(by2)])
+        boxes_px = self.detect_candidates(padded_dev, orig_hw, h, w)
         if not boxes_px:
             return [], []
 

@@ -258,7 +258,11 @@ class Detector:
         return jax.jit(partial(self.module.init, train=False))(rng, dummy)
 
     @partial(jax.jit, static_argnames=("self",))
-    def detect(
+    def detect(self, variables, padded_u8, orig_hw, conf_threshold, nms_iou):
+        """Jitted single-image detect (see detect_graph)."""
+        return self.detect_graph(variables, padded_u8, orig_hw, conf_threshold, nms_iou)
+
+    def detect_graph(
         self,
         variables,
         padded_u8: jnp.ndarray,  # [Hb, Wb, 3] uint8
@@ -266,7 +270,8 @@ class Detector:
         conf_threshold,
         nms_iou,
     ):
-        """Single-image detect.  Returns (boxes_norm [max_det,4] xyxy in [0,1],
+        """Single-image detect (traceable; composes into larger fused
+        graphs).  Returns (boxes_norm [max_det,4] xyxy in [0,1],
         scores [max_det], valid [max_det])."""
         img, r, pad = letterbox(padded_u8, orig_hw, self.imgsz)
         level_outputs = self.module.apply(variables, img[None], train=False)

@@ -1,10 +1,20 @@
 """The screenshot -> structured-elements pipeline.
 
 TPU-native rebuild of the reference hot path (util/omniparser.py:16-32 +
-util/utils.py:407-486 `get_som_labeled_img`):
+util/utils.py:407-486 `get_som_labeled_img`), restructured around ONE fused
+jitted device step:
 
-    decode -> [device] letterbox+detect+NMS -> OCR -> [device] overlap/merge
-           -> [device] crop-gather + caption decode -> SOM overlay -> JSON
+    host:   decode -> pad -> upload (1 host->device transfer)
+    device: OCR text-detector -> prob map            (download #1: ~1 MB)
+    host:   connected components -> candidate boxes
+    device: [fused] YOLO detect + NMS -> OCR line recognizer + CTC stats
+            -> overlap/merge masks -> caption-slot compaction ->
+            crop-gather -> Florence greedy decode     (download #2: masks+ids)
+    host:   strings, SOM overlay, JSON
+
+The reference makes a host<->device round trip per stage and per caption
+batch (SURVEY.md §3.1); on a tunneled TPU each round trip costs tens of ms,
+so collapsing to two downloads is the main single-image latency lever.
 
 Element schema and ordering match the reference exactly:
   {'type': 'text'|'icon', 'bbox': [x1,y1,x2,y2] normalized, 'interactivity',
@@ -17,6 +27,7 @@ with content-less icons sorted last and captioned in order
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -34,17 +45,10 @@ from omniparser_tpu.utils.image import decode_base64_image, encode_image_base64
 
 class NullCaptioner:
     """Placeholder captioner: labels every icon 'icon'.  Stands in for the
-    Florence-2 captioner when no weights are configured (the element schema,
-    batching and ordering are identical)."""
+    Florence-2 captioner when disabled (schema/ordering identical)."""
 
-    def caption_crops(self, crops_u8: jnp.ndarray, valid: np.ndarray) -> List[str]:
+    def caption_crops(self, crops_u8, valid) -> List[str]:
         return ["icon" for _ in range(int(valid.sum()))]
-
-
-class Element(dict):
-    """dict subclass so callers can use both elem['bbox'] and elem.bbox."""
-
-    __getattr__ = dict.__getitem__
 
 
 def _make_element(typ, bbox, interactivity, content, source) -> Dict:
@@ -57,12 +61,113 @@ def _make_element(typ, bbox, interactivity, content, source) -> Dict:
     }
 
 
-class SOMPipeline:
-    """End-to-end parse with pluggable detector / captioner / OCR.
+class FusedParseStep:
+    """Builds the one-dispatch device graph described in the module docstring.
 
-    All device stages run on fixed shapes; the only host work is codec,
-    OCR text decode (backend-dependent), string assembly and drawing.
+    Static configuration (rec on/off, caption on/off, slot counts, shapes)
+    is baked into the closure; everything else is traced values, so a
+    single compiled graph serves all images within a raw bucket.
     """
+
+    def __init__(self, detector: Detector, cfg: PipelineConfig,
+                 rec=None, rec_params=None, captioner=None):
+        self.detector = detector
+        self.cfg = cfg
+        self.rec = rec
+        self.rec_params = rec_params
+        self.captioner = captioner  # FlorenceCaptioner or None
+        self.K = cfg.captioner.batch_size
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        cfg = self.cfg
+        do_rec = self.rec is not None
+        do_cap = self.captioner is not None
+        detector = self.detector
+        rec = self.rec
+        rec_hw = (cfg.ocr.rec_height, cfg.ocr.rec_max_width)
+        K = self.K
+        crop_size = cfg.captioner.crop_size
+        if do_cap:
+            from omniparser_tpu.models.florence2 import greedy_generate
+
+            florence = self.captioner.model
+            prompt_k = jnp.asarray(
+                np.tile(self.captioner.prompt_ids[None], (K, 1)), jnp.int32
+            )
+            max_new = cfg.captioner.max_new_tokens
+            preprocess = self.captioner.preprocess
+
+        def fn(det_vars, rec_vars, cap_vars, padded, hw,
+               ocr_boxes_norm, ocr_cand_valid,
+               conf_thr, nms_iou, merge_iou, text_thr):
+            h = hw[0]
+            w = hw[1]
+            det_boxes, det_scores, det_valid = detector.detect_graph(
+                det_vars, padded, hw, conf_thr, nms_iou
+            )
+            det_valid = det_valid & (int_box_area(det_boxes, w, h) > 0)
+
+            if do_rec:
+                line_crops = crop_resize_batch(padded, hw, ocr_boxes_norm, rec_hw)
+                from omniparser_tpu.models.ocr import ctc_device_stats
+
+                logits = rec.apply(rec_vars, line_crops / 255.0, train=False)
+                rec_ids, rec_conf, n_chars = ctc_device_stats(logits)
+                ocr_valid = ocr_cand_valid & (n_chars > 0) & (rec_conf > text_thr)
+            else:
+                m = ocr_boxes_norm.shape[0]
+                rec_ids = jnp.zeros((m, 1), jnp.int32)
+                rec_conf = jnp.zeros((m,), jnp.float32)
+                ocr_valid = ocr_cand_valid
+            ocr_valid = ocr_valid & (int_box_area(ocr_boxes_norm, w, h) > 0)
+
+            res = merge_icons_and_ocr(
+                det_boxes, det_valid, ocr_boxes_norm, ocr_valid, merge_iou
+            )
+            out = {
+                "det_boxes": det_boxes,
+                "det_scores": det_scores,
+                "icon_keep": res.icon_keep,
+                "ocr_keep": res.ocr_keep,
+                "absorb": res.absorb,
+                "ocr_valid": ocr_valid,
+                "rec_ids": rec_ids,
+                "rec_conf": rec_conf,
+            }
+
+            if do_cap:
+                n = det_boxes.shape[0]
+                need = res.icon_keep & ~res.absorb.any(axis=1)
+                rank = jnp.cumsum(need) - 1
+                dest = jnp.where(need & (rank < K), rank, K)
+                cap_boxes = jnp.zeros((K, 4), det_boxes.dtype).at[dest].set(
+                    det_boxes, mode="drop"
+                )
+                cap_valid = jnp.zeros((K,), jnp.bool_).at[dest].set(need, mode="drop")
+                cap_src = jnp.full((K,), -1, jnp.int32).at[dest].set(
+                    jnp.arange(n, dtype=jnp.int32), mode="drop"
+                )
+                crops = crop_resize_batch(padded, hw, cap_boxes, crop_size)
+                tokens = greedy_generate(
+                    florence, cap_vars, preprocess(crops), prompt_k, max_new
+                )
+                out.update(cap_tokens=tokens, cap_valid=cap_valid, cap_src=cap_src,
+                           cap_overflow=need.sum() - cap_valid.sum())
+            return out
+
+        return fn
+
+    def __call__(self, det_vars, rec_vars, cap_vars, padded, hw,
+                 ocr_boxes_norm, ocr_cand_valid, conf, nms_iou, merge_iou, text_thr):
+        return self._fn(det_vars, rec_vars, cap_vars, padded, hw,
+                        ocr_boxes_norm, ocr_cand_valid,
+                        jnp.float32(conf), jnp.float32(nms_iou),
+                        jnp.float32(merge_iou), jnp.float32(text_thr))
+
+
+class SOMPipeline:
+    """End-to-end parse with pluggable detector / captioner / OCR."""
 
     def __init__(
         self,
@@ -109,6 +214,16 @@ class SOMPipeline:
             ocr = make_ocr_backend(config.ocr)
         self.ocr = ocr
 
+        from omniparser_tpu.models.ocr import JaxOCR
+
+        self._jax_ocr = ocr if isinstance(ocr, JaxOCR) else None
+        florence_cap = captioner if not isinstance(captioner, NullCaptioner) else None
+        self.fused = FusedParseStep(
+            self.detector, config,
+            rec=self._jax_ocr.rec if self._jax_ocr else None,
+            rec_params=self._jax_ocr.rec_params if self._jax_ocr else None,
+            captioner=florence_cap,
+        )
         self.last_timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------------ #
@@ -120,105 +235,158 @@ class SOMPipeline:
         iou_threshold: Optional[float] = None,
     ) -> Tuple[np.ndarray, Dict[str, List[float]], List[Dict]]:
         """np RGB uint8 -> (annotated RGB, label_coordinates, element list)."""
-        cfg = self.config
-        box_threshold = cfg.detector.box_threshold if box_threshold is None else box_threshold
-        iou_threshold = cfg.iou_threshold if iou_threshold is None else iou_threshold
-        t = {}
+        t: Dict[str, float] = {}
         t0 = time.perf_counter()
+        ctx = self._stage_upload(image_rgb)
+        t["upload"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        self._stage_ocr(ctx)
+        t["ocr_detect"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        self._stage_dispatch(ctx, box_threshold, iou_threshold)
+        ctx["out"] = jax.device_get(ctx["out"])
+        t["device_step"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        result = self._stage_finish(ctx)
+        t["assemble"] = ctx["t_assemble"]
+        t["annotate"] = time.perf_counter() - t0 - ctx["t_assemble"]
+        self.last_timings = t
+        return result
 
+    def parse_batch(self, images: Sequence[np.ndarray]):
+        """Pipelined multi-screenshot parse: all uploads + OCR-det dispatched
+        first, fused steps dispatched as prob maps land, downloads last —
+        transfers and compute overlap across images (the reference parses
+        strictly one request at a time).  Returns a list of parse_image
+        tuples."""
+        ctxs = [self._stage_upload(img) for img in images]
+        if self._jax_ocr is not None:
+            for ctx in ctxs:  # dispatch all det nets before any download
+                ctx["ocr_fut"] = self._jax_ocr.dispatch_det(ctx["padded_dev"], ctx["orig_hw"])
+        for ctx in ctxs:
+            self._stage_ocr(ctx)
+            self._stage_dispatch(ctx, None, None)
+        for ctx in ctxs:
+            ctx["out"] = jax.device_get(ctx["out"])
+        return [self._stage_finish(ctx) for ctx in ctxs]
+
+    # ----------------------------- stages ----------------------------- #
+
+    def _stage_upload(self, image_rgb: np.ndarray) -> Dict:
         h, w = image_rgb.shape[:2]
         hb, wb = pick_bucket_2d(h, w)
         padded, _ = pad_to_bucket(image_rgb, hb, wb)
-        padded_dev = jnp.asarray(padded)  # single host->device upload
-        orig_hw = jnp.asarray([h, w], jnp.int32)
-        t["upload"] = time.perf_counter() - t0
+        return {
+            "image": image_rgb, "h": h, "w": w,
+            "padded_dev": jnp.asarray(padded),  # single host->device upload
+            "orig_hw": jnp.asarray([h, w], jnp.int32),
+        }
 
-        # --- OCR (pluggable; may run on device or host) ---
-        t0 = time.perf_counter()
-        ocr_texts, ocr_boxes_px = self.ocr.recognize(image_rgb, padded_dev, orig_hw)
-        t["ocr"] = time.perf_counter() - t0
-
-        # --- detect (jitted: letterbox + backbone + decode + NMS) ---
-        t0 = time.perf_counter()
-        det_boxes, det_scores, det_valid = self.detector.detect(
-            self.detector_params, padded_dev, orig_hw, box_threshold,
-            cfg.detector.nms_iou_threshold,
-        )
-        t["detect"] = time.perf_counter() - t0
-
-        # --- merge (jitted fixed-shape masks) ---
-        t0 = time.perf_counter()
+    def _stage_ocr(self, ctx: Dict) -> None:
+        cfg = self.config
+        h, w = ctx["h"], ctx["w"]
         max_ocr = cfg.ocr.max_text_boxes
         ocr_arr = np.zeros((max_ocr, 4), np.float32)
-        ocr_valid = np.zeros(max_ocr, bool)
-        n_ocr = min(len(ocr_boxes_px), max_ocr)
+        ocr_cand_valid = np.zeros(max_ocr, bool)
+        host_texts: Optional[List[str]] = None
+        if self._jax_ocr is not None:
+            fut = ctx.pop("ocr_fut", None)
+            if fut is None:
+                fut = self._jax_ocr.dispatch_det(ctx["padded_dev"], ctx["orig_hw"])
+            prob, r, pads = fut
+            boxes_px = self._jax_ocr.candidates_from_prob(prob, r, pads, h, w)
+        else:
+            host_texts, boxes_px = self.ocr.recognize(
+                ctx["image"], ctx["padded_dev"], ctx["orig_hw"]
+            )
+        n_ocr = min(len(boxes_px), max_ocr)
         if n_ocr:
             scale = np.array([w, h, w, h], np.float32)
-            ocr_arr[:n_ocr] = np.asarray(ocr_boxes_px[:n_ocr], np.float32) / scale
-            ocr_valid[:n_ocr] = True
+            ocr_arr[:n_ocr] = np.asarray(boxes_px[:n_ocr], np.float32) / scale
+            ocr_cand_valid[:n_ocr] = True
+        ctx.update(ocr_arr=ocr_arr, ocr_cand_valid=ocr_cand_valid,
+                   n_ocr=n_ocr, host_texts=host_texts)
 
-        # drop zero-int-area boxes (util/utils.py:434-435)
-        det_valid = det_valid & (int_box_area(det_boxes, w, h) > 0)
-        ocr_valid_j = jnp.asarray(ocr_valid) & (int_box_area(jnp.asarray(ocr_arr), w, h) > 0)
-
-        res = merge_icons_and_ocr(
-            det_boxes, det_valid, jnp.asarray(ocr_arr), ocr_valid_j, iou_threshold
+    def _stage_dispatch(self, ctx: Dict, box_threshold, iou_threshold) -> None:
+        cfg = self.config
+        box_threshold = cfg.detector.box_threshold if box_threshold is None else box_threshold
+        iou_threshold = cfg.iou_threshold if iou_threshold is None else iou_threshold
+        cap_vars = self.fused.captioner.params if self.fused.captioner else 0
+        rec_vars = self._jax_ocr.rec_params if self._jax_ocr else 0
+        ctx["out"] = self.fused(
+            self.detector_params, rec_vars, cap_vars, ctx["padded_dev"], ctx["orig_hw"],
+            jnp.asarray(ctx["ocr_arr"]), jnp.asarray(ctx["ocr_cand_valid"]),
+            box_threshold, cfg.detector.nms_iou_threshold,
+            iou_threshold, cfg.ocr.text_threshold,
         )
-        icon_keep = np.asarray(res.icon_keep)
-        ocr_keep = np.asarray(res.ocr_keep)
-        absorb = np.asarray(res.absorb)
-        det_boxes_np = np.asarray(det_boxes)
-        t["merge"] = time.perf_counter() - t0
 
-        # --- assemble elements in reference order: OCR text, icons with
-        # absorbed text, then content-less icons (util/utils.py:439-441) ---
+    def _stage_finish(self, ctx: Dict):
+        cfg = self.config
+        t0 = time.perf_counter()
+        image_rgb = ctx["image"]
+        h, w = ctx["h"], ctx["w"]
+        out = ctx["out"]
+        ocr_arr, n_ocr = ctx["ocr_arr"], ctx["n_ocr"]
+        host_texts = ctx["host_texts"]
+        padded_dev, orig_hw = ctx["padded_dev"], ctx["orig_hw"]
+        if self._jax_ocr is not None:
+            from omniparser_tpu.models.ocr import ids_to_text
+
+            texts = {
+                k: ids_to_text(out["rec_ids"][k])
+                for k in range(n_ocr) if out["ocr_valid"][k]
+            }
+        else:
+            texts = {k: (host_texts[k] if host_texts else "") for k in range(n_ocr)}
+
         elements: List[Dict] = []
         for k in range(n_ocr):
-            if ocr_keep[k]:
-                elements.append(
-                    _make_element("text", ocr_arr[k], False, ocr_texts[k], "box_ocr_content_ocr")
-                )
+            if out["ocr_keep"][k]:
+                elements.append(_make_element(
+                    "text", ocr_arr[k], False, texts.get(k, ""), "box_ocr_content_ocr"
+                ))
+        det_boxes = out["det_boxes"]
         icon_labeled, icon_plain = [], []
-        for i in np.nonzero(icon_keep)[0]:
-            donors = np.nonzero(absorb[i, :n_ocr])[0]
+        for i in np.nonzero(out["icon_keep"])[0]:
+            donors = np.nonzero(out["absorb"][i, :n_ocr])[0]
             if len(donors):
-                content = "".join(ocr_texts[k] + " " for k in donors)
-                icon_labeled.append(
-                    _make_element("icon", det_boxes_np[i], True, content, "box_yolo_content_ocr")
-                )
+                content = "".join(texts.get(k, "") + " " for k in donors)
+                icon_labeled.append(_make_element(
+                    "icon", det_boxes[i], True, content, "box_yolo_content_ocr"
+                ))
             else:
-                icon_plain.append(
-                    _make_element("icon", det_boxes_np[i], True, None, "box_yolo_content_yolo")
-                )
+                icon_plain.append((i, _make_element(
+                    "icon", det_boxes[i], True, None, "box_yolo_content_yolo"
+                )))
         elements.extend(icon_labeled)
-        starting_idx = len(elements) + len(icon_plain) if not icon_plain else len(elements)
-        elements.extend(icon_plain)
+        plain_elems = [e for _, e in icon_plain]
+        elements.extend(plain_elems)
 
-        # --- caption content-less icons (device crop-gather + decode) ---
-        t0 = time.perf_counter()
-        if cfg.use_local_semantics and icon_plain:
-            crop_boxes = np.stack([e["bbox"] for e in icon_plain]).astype(np.float32)
-            bs = cfg.captioner.batch_size
-            pad_n = -(-len(crop_boxes) // bs) * bs
-            crop_arr = np.zeros((pad_n, 4), np.float32)
-            crop_arr[: len(crop_boxes)] = crop_boxes
-            crop_valid = np.zeros(pad_n, bool)
-            crop_valid[: len(crop_boxes)] = True
-            captions: List[str] = []
-            for start in range(0, pad_n, bs):
-                crops = crop_resize_batch(
-                    padded_dev, orig_hw, jnp.asarray(crop_arr[start : start + bs]),
-                    cfg.captioner.crop_size,
-                )
-                captions.extend(
-                    self.captioner.caption_crops(crops, crop_valid[start : start + bs])
-                )
-            for e, cap in zip(icon_plain, captions):
-                e["content"] = cap
-        t["caption"] = time.perf_counter() - t0
+        # captions: fused tokens for the first K; overflow via extra batches
+        if plain_elems and "cap_tokens" in out:
+            cap = self.fused.captioner
+            by_src = {int(s): tok for s, tok, v in
+                      zip(out["cap_src"], out["cap_tokens"], out["cap_valid"]) if v}
+            missing = []
+            for i, e in icon_plain:
+                tok = by_src.get(int(i))
+                if tok is not None:
+                    e["content"] = cap.tokens_to_text(tok)
+                else:
+                    missing.append((i, e))
+            if missing:  # > K content-less icons: batch the remainder
+                boxes_extra = np.stack([det_boxes[i] for i, _ in missing]).astype(np.float32)
+                caps = self._caption_boxes(padded_dev, orig_hw, boxes_extra)
+                for (_, e), c in zip(missing, caps):
+                    e["content"] = c
+        elif plain_elems and cfg.use_local_semantics:
+            # NullCaptioner path (tests / captioner disabled by backend)
+            for e in plain_elems:
+                e["content"] = "icon"
+        # use_local_semantics=False: icons keep content None (util/utils.py:463-465)
+        ctx["t_assemble"] = time.perf_counter() - t0
 
-        # --- SOM overlay ---
-        t0 = time.perf_counter()
+        # --- SOM overlay --- #
         boxes_xyxy = np.array([e["bbox"] for e in elements], np.float32).reshape(-1, 4)
         cxcywh = np.stack(
             [
@@ -243,10 +411,24 @@ class SOMPipeline:
                 k: [v[0] / w, v[1] / h, v[2] / w, v[3] / h]
                 for k, v in label_coordinates.items()
             }
-        t["annotate"] = time.perf_counter() - t0
-        self.last_timings = t
-        self._last_starting_idx = starting_idx if icon_plain else -1
         return annotated, label_coordinates, elements
+
+    def _caption_boxes(self, padded_dev, orig_hw, boxes_norm: np.ndarray) -> List[str]:
+        """Caption overflow batches (rare: > batch_size content-less icons)."""
+        cfg = self.config.captioner
+        bs = cfg.batch_size
+        pad_n = -(-len(boxes_norm) // bs) * bs
+        arr = np.zeros((pad_n, 4), np.float32)
+        arr[: len(boxes_norm)] = boxes_norm
+        valid = np.zeros(pad_n, bool)
+        valid[: len(boxes_norm)] = True
+        out: List[str] = []
+        for s in range(0, pad_n, bs):
+            crops = crop_resize_batch(
+                padded_dev, orig_hw, jnp.asarray(arr[s : s + bs]), cfg.crop_size
+            )
+            out.extend(self.captioner.caption_crops(crops, valid[s : s + bs]))
+        return out
 
     # ------------------------------------------------------------------ #
 
@@ -259,8 +441,8 @@ class SOMPipeline:
             lines.append(f"{kind} Box ID {i}: {e['content']}")
         return lines
 
-    def warmup(self, shapes: Sequence[Tuple[int, int]] = ((1080, 1920),)) -> None:
-        """Compile the device graphs ahead of serving."""
+    def warmup(self, shapes: Sequence[Tuple[int, int]] = ((1080, 1920), (2160, 3840))) -> None:
+        """Compile the device graphs for the common raw buckets."""
         for h, w in shapes:
             img = np.zeros((h, w, 3), np.uint8)
             self.parse_image(img)

@@ -83,7 +83,7 @@ def test_omniparser_facade_base64_roundtrip(small_config, rng):
 def test_timings_recorded(pipeline, rng):
     img = rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
     pipeline.parse_image(img)
-    assert {"upload", "ocr", "detect", "merge", "caption", "annotate"} <= set(
+    assert {"upload", "ocr_detect", "device_step", "assemble", "annotate"} <= set(
         pipeline.last_timings
     )
 
