@@ -182,23 +182,21 @@ def extract_text_boxes(
     min_area: int = 4,
 ) -> List[Tuple[List[int], float]]:
     """Probability map (det scale) -> [(x1,y1,x2,y2 in map*4 px, score)].
-    DBNet-family postprocess: binarize, connected components, expand."""
-    binary = (prob_map > bin_threshold).astype(np.uint8)
-    n, labels, stats, _ = cv2.connectedComponentsWithStats(binary, connectivity=4)
+    DBNet-family postprocess: binarize, connected components (native C++
+    hostops when built, cv2 otherwise), expand."""
+    from omniparser_tpu.utils.hostops import extract_components
+
     out = []
-    for i in range(1, n):
-        x, y, w, h, area = stats[i]
-        if area < min_area:
-            continue
-        score = float(prob_map[labels == i].mean())
-        if score < min_score:
-            continue
+    for (x1c, y1c, x2c, y2c), score, _area in extract_components(
+        prob_map, bin_threshold, min_area, min_score
+    ):
+        w, h = x2c - x1c, y2c - y1c
         # unclip: expand box by a perimeter-proportional margin
         margin = int(round((unclip - 1.0) * min(w, h) / 2))
-        x1 = (x - margin) * 4
-        y1 = (y - margin) * 4
-        x2 = (x + w + margin) * 4
-        y2 = (y + h + margin) * 4
+        x1 = (x1c - margin) * 4
+        y1 = (y1c - margin) * 4
+        x2 = (x2c + margin) * 4
+        y2 = (y2c + margin) * 4
         out.append(([x1, y1, x2, y2], score))
     return out
 

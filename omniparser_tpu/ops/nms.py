@@ -55,15 +55,23 @@ def nms_fixed_shape(
     sboxes = boxes[order]
     svalid = valid[order]
 
-    iou = _plain_pairwise_iou(sboxes)
-    pos = jnp.arange(n)
+    from omniparser_tpu.ops.pallas_kernels import pallas_nms_keep, use_pallas
 
-    def body(i, keep):
-        # If slot i survives, kill every later slot overlapping it.
-        overlap_later = (iou[i] > iou_threshold) & (pos > i)
-        return jnp.where(keep[i] & overlap_later, False, keep)
+    # the kernel holds the full N x N fp32 IoU matrix in VMEM (~16 MB/core):
+    # N=1024 -> 4 MB fits; N=2048 -> 16.8 MB does not.
+    if use_pallas() and n <= 1024:
+        # single-kernel greedy pass: IoU matrix + suppression scan in VMEM
+        keep = pallas_nms_keep(sboxes, svalid, iou_threshold)
+    else:
+        iou = _plain_pairwise_iou(sboxes)
+        pos = jnp.arange(n)
 
-    keep = jax.lax.fori_loop(0, n, body, svalid)
+        def body(i, keep):
+            # If slot i survives, kill every later slot overlapping it.
+            overlap_later = (iou[i] > iou_threshold) & (pos > i)
+            return jnp.where(keep[i] & overlap_later, False, keep)
+
+        keep = jax.lax.fori_loop(0, n, body, svalid)
 
     # Compact the kept slots to the front (stable: score order preserved).
     rank = jnp.cumsum(keep) - 1

@@ -35,12 +35,13 @@ class OmniparserServer:
         self._encode = encode_image_base64
 
         def process_batch(images_b64):
-            out = []
-            for b64 in images_b64:
-                img = self._decode(b64)
-                annotated, _, elements = self.pipeline.parse_image(img)
-                out.append((self._encode(annotated), elements))
-            return out
+            images = [self._decode(b64) for b64 in images_b64]
+            if hasattr(self.pipeline, "parse_batch"):
+                results = self.pipeline.parse_batch(images)
+            else:  # test fakes
+                results = [self.pipeline.parse_image(im) for im in images]
+            return [(self._encode(annotated), elements)
+                    for annotated, _, elements in results]
 
         self.batcher = MicroBatcher(
             process_batch,
