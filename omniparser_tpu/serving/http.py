@@ -22,6 +22,34 @@ from typing import Optional
 from omniparser_tpu.config import PipelineConfig, ServerConfig
 
 
+# Zero-dependency interactive demo (the reference ships a gradio UI,
+# gradio_demo.py; REST parity matters more — this covers the eyeball test).
+DEMO_PAGE = """<!doctype html><html><head><title>omniparser_tpu</title>
+<style>body{font-family:sans-serif;max-width:1100px;margin:2em auto}
+img{max-width:100%;border:1px solid #ccc}pre{background:#f4f4f4;padding:1em;
+overflow:auto;max-height:320px}</style></head><body>
+<h2>omniparser_tpu demo</h2>
+<input type=file id=f accept=image/*> <span id=st></span>
+<div id=out></div>
+<script>
+document.getElementById('f').onchange = async (ev) => {
+  const file = ev.target.files[0]; if (!file) return;
+  const st = document.getElementById('st'); st.textContent = 'parsing...';
+  const b64 = await new Promise(r => { const fr = new FileReader();
+    fr.onload = () => r(fr.result.split(',')[1]); fr.readAsDataURL(file); });
+  const t0 = performance.now();
+  const resp = await fetch('/parse/', {method: 'POST',
+    body: JSON.stringify({base64_image: b64})});
+  const data = await resp.json();
+  st.textContent = `${((performance.now()-t0)/1000).toFixed(2)}s, ` +
+    `${data.parsed_content_list.length} elements`;
+  document.getElementById('out').innerHTML =
+    `<img src="data:image/png;base64,${data.som_image_base64}">` +
+    `<pre>${JSON.stringify(data.parsed_content_list, null, 1)}</pre>`;
+};
+</script></body></html>"""
+
+
 class OmniparserServer:
     def __init__(self, pipeline_config: PipelineConfig, server_config: ServerConfig = None,
                  pipeline=None):
@@ -81,6 +109,13 @@ class OmniparserServer:
             def do_GET(self):
                 if self.path.rstrip("/") == "/probe":
                     self._send(200, {"message": "Omniparser API ready"})
+                elif self.path in ("/", "/demo"):
+                    body = DEMO_PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(404, {"error": "not found"})
 
