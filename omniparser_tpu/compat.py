@@ -16,6 +16,83 @@ from omniparser_tpu.config import CaptionerConfig, DetectorConfig, OcrConfig, Pi
 from omniparser_tpu.ocr import check_ocr_box  # noqa: F401  (same signature)
 
 
+def get_xywh(input) -> Tuple[int, int, int, int]:
+    """Quad (4 corner points) -> int xywh (util/utils.py:489-492)."""
+    x, y = input[0][0], input[0][1]
+    w, h = input[2][0] - input[0][0], input[2][1] - input[0][1]
+    return int(x), int(y), int(w), int(h)
+
+
+def get_xyxy(input) -> Tuple[int, int, int, int]:
+    """Quad -> int xyxy (util/utils.py:494-497)."""
+    return int(input[0][0]), int(input[0][1]), int(input[2][0]), int(input[2][1])
+
+
+def get_xywh_yolo(input) -> Tuple[int, int, int, int]:
+    """xyxy list -> int xywh (util/utils.py:499-502)."""
+    return (int(input[0]), int(input[1]),
+            int(input[2] - input[0]), int(input[3] - input[1]))
+
+
+def predict_yolo(model: Tuple, image, box_threshold: float, imgsz=None,
+                 scale_img: bool = False, iou_threshold: float = 0.7):
+    """Reference signature (util/utils.py:378-399): returns (boxes xyxy in
+    pixels, confidences, phrases) for one image."""
+    import jax.numpy as jnp
+
+    from omniparser_tpu.ops.preprocess import pad_to_bucket, pick_bucket_2d
+
+    detector, params = model
+    img = image
+    if hasattr(img, "convert"):
+        img = np.asarray(img.convert("RGB"))
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    hb, wb = pick_bucket_2d(h, w)
+    padded, _ = pad_to_bucket(img, hb, wb)
+    boxes_norm, scores, valid = detector.detect(
+        params, jnp.asarray(padded), jnp.asarray([h, w], jnp.int32),
+        box_threshold, iou_threshold,
+    )
+    boxes_norm, scores, valid = map(np.asarray, (boxes_norm, scores, valid))
+    boxes_px = boxes_norm[valid] * np.array([w, h, w, h], np.float32)
+    conf = scores[valid]
+    phrases = [str(i) for i in range(len(boxes_px))]
+    return boxes_px, conf, phrases
+
+
+def remove_overlap(boxes, iou_threshold: float, ocr_bbox: Optional[List] = None):
+    """Legacy v1 filter (util/utils.py:178-228), vectorized: drop a box if a
+    *smaller* box overlaps it above threshold; with ocr_bbox, also drop boxes
+    overlapping (but not >95% inside) any OCR box.  Returns kept boxes."""
+    import jax.numpy as jnp
+
+    from omniparser_tpu.ops.boxes import (
+        box_area,
+        containment_ratio,
+        pairwise_max_overlap_ratio,
+    )
+
+    b = jnp.asarray(np.asarray(boxes, np.float32).reshape(-1, 4))
+    n = b.shape[0]
+    if n == 0:
+        return np.zeros((0, 4), np.float32)
+    ratio = pairwise_max_overlap_ratio(b, b)
+    area = box_area(b)
+    not_self = ~jnp.eye(n, dtype=bool)
+    suppressed = (not_self & (ratio > iou_threshold) & (area[:, None] > area[None, :])).any(1)
+    keep = ~suppressed
+    if ocr_bbox:
+        o = jnp.asarray(np.asarray(ocr_bbox, np.float32).reshape(-1, 4))
+        overlap = pairwise_max_overlap_ratio(b, o) > iou_threshold
+        inside = containment_ratio(b, o) > 0.95  # is_inside (v1 uses 0.95)
+        keep = keep & ~(overlap & ~inside).any(axis=1)
+    kept = np.asarray(b)[np.asarray(keep)]
+    if ocr_bbox:
+        kept = np.concatenate([np.asarray(ocr_bbox, np.float32).reshape(-1, 4), kept])
+    return kept
+
+
 def get_yolo_model(model_path: Optional[str] = None, variant: str = "n"):
     """Reference: ultralytics YOLO(model_path) (util/utils.py:71-75).
     Returns (Detector, params) — pass as `model=` to get_som_labeled_img."""
@@ -37,10 +114,22 @@ def get_caption_model_processor(model_name: str = "florence2",
                                 model_name_or_path: Optional[str] = None,
                                 device=None):
     """Reference: HF Florence-2/BLIP-2 loader (util/utils.py:47-68).
-    Returns a FlorenceCaptioner (the 'model'+'processor' pair fused)."""
+    Returns a captioner object (the 'model'+'processor' pair fused)."""
+    if model_name == "blip2":
+        from omniparser_tpu.models.blip2 import Blip2Captioner
+        from omniparser_tpu.weights.convert_blip2 import load_blip2_params
+
+        cfg = CaptionerConfig(backend="blip2", max_new_tokens=100)
+        if model_name_or_path:
+            params, dims, tok = load_blip2_params(model_name_or_path)
+            from omniparser_tpu.models.tokenizer import load_tokenizer
+
+            return Blip2Captioner(cfg, dims=dims, params=params,
+                                  tokenizer=load_tokenizer(tok))
+        return Blip2Captioner(cfg)
     if model_name != "florence2":
         raise NotImplementedError(
-            f"caption model {model_name!r} not implemented yet (florence2 only)"
+            f"caption model {model_name!r} not implemented (florence2, blip2)"
         )
     from omniparser_tpu.models.florence2 import FlorenceCaptioner
 

@@ -518,6 +518,8 @@ class FlorenceCaptioner:
     captions; with random init it exercises the identical compute graph.
     """
 
+    fusable = True  # greedy KV-cache decode composes into the fused parse step
+
     def __init__(
         self,
         config: CaptionerConfig,

@@ -47,6 +47,8 @@ class NullCaptioner:
     """Placeholder captioner: labels every icon 'icon'.  Stands in for the
     Florence-2 captioner when disabled (schema/ordering identical)."""
 
+    fusable = False
+
     def caption_crops(self, crops_u8, valid) -> List[str]:
         return ["icon" for _ in range(int(valid.sum()))]
 
@@ -195,8 +197,13 @@ class SOMPipeline:
         self.detector_params = detector_params
 
         if captioner is None:
-            if not config.use_local_semantics or config.captioner.backend == "null":
+            backend = config.captioner.backend
+            if not config.use_local_semantics or backend == "null":
                 captioner = NullCaptioner()
+            elif backend == "blip2":
+                from omniparser_tpu.models.blip2 import Blip2Captioner
+
+                captioner = Blip2Captioner(config.captioner)
             else:
                 from omniparser_tpu.models.florence2 import FlorenceCaptioner
 
@@ -217,7 +224,9 @@ class SOMPipeline:
         from omniparser_tpu.models.ocr import JaxOCR
 
         self._jax_ocr = ocr if isinstance(ocr, JaxOCR) else None
-        florence_cap = captioner if not isinstance(captioner, NullCaptioner) else None
+        # only KV-cache greedy captioners fuse into the device step; beam
+        # decoders (BLIP-2) run as a separate dispatch on the same crops
+        florence_cap = captioner if getattr(captioner, "fusable", False) else None
         self.fused = FusedParseStep(
             self.detector, config,
             rec=self._jax_ocr.rec if self._jax_ocr else None,
@@ -380,9 +389,14 @@ class SOMPipeline:
                 for (_, e), c in zip(missing, caps):
                     e["content"] = c
         elif plain_elems and cfg.use_local_semantics:
-            # NullCaptioner path (tests / captioner disabled by backend)
-            for e in plain_elems:
-                e["content"] = "icon"
+            if isinstance(self.captioner, NullCaptioner):
+                for e in plain_elems:
+                    e["content"] = "icon"
+            else:  # non-fusable captioner (BLIP-2 beam decode): batch here
+                boxes = np.stack([e["bbox"] for e in plain_elems]).astype(np.float32)
+                caps = self._caption_boxes(padded_dev, orig_hw, boxes)
+                for e, c in zip(plain_elems, caps):
+                    e["content"] = c
         # use_local_semantics=False: icons keep content None (util/utils.py:463-465)
         ctx["t_assemble"] = time.perf_counter() - t0
 

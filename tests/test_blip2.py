@@ -1,0 +1,211 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omniparser_tpu.config import CaptionerConfig
+from omniparser_tpu.models.blip2 import (
+    TINY_BLIP2,
+    Blip2,
+    Blip2Captioner,
+    blip2_generate,
+)
+from omniparser_tpu.models.generate import beam_search
+
+
+# ------------------------- beam search ------------------------- #
+
+
+def _toy_decode_step(table):
+    """LM whose next-token logits depend only on the last token."""
+
+    def step(flat_tokens, s, caches):
+        logits = table[flat_tokens[:, 0]]  # [B*K, V]
+        return logits[:, None, :], caches
+
+    return step
+
+
+def _python_beam_search(table, init_logits, k, max_new, eos, pad, ngram2=False):
+    """Slow spec restatement of the same beam-search semantics."""
+    import math
+
+    v = table.shape[1]
+
+    def logsoftmax(row):
+        m = row.max()
+        e = np.exp(row - m)
+        return row - m - np.log(e.sum())
+
+    lp0 = logsoftmax(init_logits)
+    order = np.argsort(-lp0)[:k]
+    beams = [([int(t)], float(lp0[t]), int(t) == eos) for t in order]
+    for s in range(max_new - 1):
+        cand = []
+        for tokens, score, done in beams:
+            if done:
+                cand.append((tokens + [pad], score, True))
+                continue
+            lp = logsoftmax(table[tokens[-1]])
+            banned = set()
+            if ngram2:
+                for i in range(len(tokens) - 1):
+                    if tokens[i] == tokens[-1]:
+                        banned.add(tokens[i + 1])
+            for t in range(v):
+                sc = score + (-1e9 if t in banned else float(lp[t]))
+                cand.append((tokens + [t], sc, t == eos))
+        cand.sort(key=lambda x: -x[1])
+        beams = cand[:k]
+    best = max(beams, key=lambda b: b[1] / max(sum(1 for t in b[0] if t != pad), 1))
+    return best[0], beams
+
+
+def test_beam_search_matches_python_oracle(rng):
+    v, k, t = 12, 3, 5
+    eos, pad = 11, 0
+    for trial in range(4):
+        table = rng.normal(size=(v, v)).astype(np.float32) * 2
+        init_logits = rng.normal(size=(1, v)).astype(np.float32) * 2
+        tokens, scores = beam_search(
+            _toy_decode_step(jnp.asarray(table)), jnp.asarray(init_logits),
+            (), 1, k, t, v, eos_token_id=eos, pad_token_id=pad,
+        )
+        got = [int(x) for x in np.asarray(tokens)[0]]
+        want, _ = _python_beam_search(table, init_logits[0], k, t, eos, pad)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_beam_one_equals_greedy(rng):
+    v, t = 10, 6
+    table = rng.normal(size=(v, v)).astype(np.float32)
+    init_logits = rng.normal(size=(1, v)).astype(np.float32)
+    tokens, _ = beam_search(
+        _toy_decode_step(jnp.asarray(table)), jnp.asarray(init_logits),
+        (), 1, 1, t, v, eos_token_id=9, pad_token_id=0,
+    )
+    got = [int(x) for x in np.asarray(tokens)[0]]
+    # greedy rollout
+    cur = int(np.argmax(init_logits[0]))
+    want = [cur]
+    for _ in range(t - 1):
+        if cur == 9:
+            want.append(0)
+            continue
+        cur = int(np.argmax(table[cur]))
+        want.append(cur)
+    assert got == want
+
+
+def test_beam_search_bigram_ban(rng):
+    # LM that loves the cycle 3 -> 4 -> 3 -> 4: with ngram2 ban, the second
+    # occurrence of (3, 4) must be forbidden.
+    v = 6
+    table = np.full((v, v), -5.0, np.float32)
+    table[3, 4] = 5.0
+    table[4, 3] = 5.0
+    table[3, 2] = 1.0
+    table[4, 2] = 1.0
+    init = np.full((1, v), -5.0, np.float32)
+    init[0, 3] = 5.0
+    tokens, _ = beam_search(
+        _toy_decode_step(jnp.asarray(table)), jnp.asarray(init), (),
+        1, 2, 6, v, eos_token_id=5, pad_token_id=0, no_repeat_ngram_size=2,
+    )
+    got = [int(x) for x in np.asarray(tokens)[0]]
+    want, _ = _python_beam_search(table, init[0], 2, 6, 5, 0, ngram2=True)
+    assert got == want
+    # bigram (3,4) appears at most once
+    pairs = [(got[i], got[i + 1]) for i in range(len(got) - 1)]
+    assert pairs.count((3, 4)) <= 1
+
+
+def test_beam_eos_freezes_beam(rng):
+    v = 5
+    table = np.full((v, v), 0.0, np.float32)
+    table[1, 4] = 10.0  # 1 -> eos(4)
+    init = np.zeros((1, v), np.float32)
+    init[0, 1] = 10.0
+    tokens, _ = beam_search(
+        _toy_decode_step(jnp.asarray(table)), jnp.asarray(init), (),
+        1, 2, 5, v, eos_token_id=4, pad_token_id=0,
+    )
+    got = [int(x) for x in np.asarray(tokens)[0]]
+    assert got[0] == 1 and got[1] == 4 and all(x == 0 for x in got[2:])
+
+
+# ------------------------- blip2 model ------------------------- #
+
+
+@pytest.fixture(scope="module")
+def tiny_blip2():
+    model = Blip2(dims=TINY_BLIP2)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 28, 28, 3), jnp.float32),
+        jnp.zeros((1, 3), jnp.int32),
+        jnp.zeros((1, 2), jnp.int32),
+    )
+    return model, params
+
+
+def test_blip2_prefill_shapes(tiny_blip2):
+    model, params = tiny_blip2
+    logits, caches, p = model.apply(
+        params, jnp.zeros((2, 28, 28, 3)), jnp.ones((2, 3), jnp.int32), 16,
+        method=Blip2.encode_and_prefill,
+    )
+    assert logits.shape == (2, 1, TINY_BLIP2.vocab_size)
+    assert p == 3 + TINY_BLIP2.num_query_tokens
+    k, v = caches[0]
+    assert k.shape == (2, 16, TINY_BLIP2.lm_heads, TINY_BLIP2.lm_width // TINY_BLIP2.lm_heads)
+
+
+def test_blip2_generate_beams(tiny_blip2):
+    model, params = tiny_blip2
+    px = jax.random.uniform(jax.random.PRNGKey(1), (2, 28, 28, 3))
+    prompt = jnp.ones((2, 3), jnp.int32) * 4
+    tokens, scores = blip2_generate(model, params, px, prompt,
+                                    max_new_tokens=6, num_beams=3)
+    assert tokens.shape == (2, 6)
+    assert np.isfinite(np.asarray(scores)).all()
+    # deterministic
+    tokens2, _ = blip2_generate(model, params, px, prompt,
+                                max_new_tokens=6, num_beams=3)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens2))
+
+
+def test_blip2_decode_matches_prefill(tiny_blip2):
+    """Incremental decode over the same tokens must reproduce the prefill
+    logits (KV-cache correctness across the prefix boundary)."""
+    model, params = tiny_blip2
+    px = jax.random.uniform(jax.random.PRNGKey(2), (1, 28, 28, 3))
+    prompt = jnp.asarray([[4, 5, 6]], jnp.int32)
+    extra = jnp.asarray([[7, 8]], jnp.int32)
+
+    # full prefill over prompt + extra -> last logits
+    full_logits, _, _ = model.apply(
+        params, px, jnp.concatenate([prompt, extra], 1), 16,
+        method=Blip2.encode_and_prefill,
+    )
+
+    # prefill over prompt only, then decode extra tokens one by one
+    logits, caches, p = model.apply(params, px, prompt, 16,
+                                    method=Blip2.encode_and_prefill)
+    prefix = TINY_BLIP2.num_query_tokens + 3
+    for s, tok in enumerate([7, 8]):
+        logits, caches = model.apply(
+            params, jnp.asarray([[tok]], jnp.int32), s, prefix, list(caches),
+            method=Blip2.decode_one,
+        )
+    np.testing.assert_allclose(
+        np.asarray(full_logits[0, -1]), np.asarray(logits[0, -1]), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_blip2_captioner_end_to_end():
+    cap = Blip2Captioner(CaptionerConfig(crop_size=28, max_new_tokens=4),
+                         dims=TINY_BLIP2, num_beams=2)
+    crops = jnp.zeros((3, 28, 28, 3), jnp.float32)
+    out = cap.caption_crops(crops, np.array([True, False, True]))
+    assert len(out) == 2 and all(isinstance(s, str) for s in out)

@@ -187,3 +187,106 @@ def test_florence_converter_roundtrip():
             continue
         np.testing.assert_array_equal(got[key], ref[key], err_msg=key)
     assert set(got) == set(ref)
+
+
+# ---------------------------------------------------------------- #
+# BLIP-2 converter
+# ---------------------------------------------------------------- #
+
+from omniparser_tpu.models.blip2 import TINY_BLIP2, Blip2
+from omniparser_tpu.weights.convert_blip2 import convert_blip2_state_dict
+
+
+def _synthesize_blip2_sd(variables, dims):
+    p = variables["params"]
+    sd = {}
+    vm = p["vision_model"]
+    sd["vision_model.embeddings.class_embedding"] = vm["class_embedding"].reshape(1, 1, -1)
+    sd["vision_model.embeddings.position_embedding"] = vm["position_embedding"][None]
+    sd["vision_model.embeddings.patch_embedding.weight"] = _inv_conv(vm["patch_embedding"]["kernel"])
+    sd["vision_model.embeddings.patch_embedding.bias"] = vm["patch_embedding"]["bias"]
+    sd["vision_model.post_layernorm.weight"] = vm["post_layernorm"]["scale"]
+    sd["vision_model.post_layernorm.bias"] = vm["post_layernorm"]["bias"]
+    for i in range(dims.vision_layers):
+        pre = f"vision_model.encoder.layers.{i}"
+        sd[f"{pre}.self_attn.qkv.weight"] = _inv_lin(vm[f"l{i}_attn"]["qkv"]["kernel"])
+        sd[f"{pre}.self_attn.qkv.bias"] = vm[f"l{i}_attn"]["qkv"]["bias"]
+        sd[f"{pre}.self_attn.projection.weight"] = _inv_lin(vm[f"l{i}_attn"]["projection"]["kernel"])
+        sd[f"{pre}.self_attn.projection.bias"] = vm[f"l{i}_attn"]["projection"]["bias"]
+        for fc in ("fc1", "fc2"):
+            sd[f"{pre}.mlp.{fc}.weight"] = _inv_lin(vm[f"l{i}_{fc}"]["kernel"])
+            sd[f"{pre}.mlp.{fc}.bias"] = vm[f"l{i}_{fc}"]["bias"]
+        for ln, ours in (("layer_norm1", "ln1"), ("layer_norm2", "ln2")):
+            sd[f"{pre}.{ln}.weight"] = vm[f"l{i}_{ours}"]["scale"]
+            sd[f"{pre}.{ln}.bias"] = vm[f"l{i}_{ours}"]["bias"]
+
+    qf = p["qformer"]
+    sd["query_tokens"] = qf["query_tokens"]
+    sd["qformer.layernorm.weight"] = qf["layernorm"]["scale"]
+    sd["qformer.layernorm.bias"] = qf["layernorm"]["bias"]
+    for i in range(dims.qformer_layers):
+        pre = f"qformer.encoder.layer.{i}"
+        blocks = [("attention", f"l{i}_self")]
+        if i % dims.cross_frequency == 0:
+            blocks.append(("crossattention", f"l{i}_cross"))
+        for hf_name, ours in blocks:
+            blk = qf[ours]
+            for proj in ("query", "key", "value"):
+                sd[f"{pre}.{hf_name}.attention.{proj}.weight"] = _inv_lin(blk[proj]["kernel"])
+                sd[f"{pre}.{hf_name}.attention.{proj}.bias"] = blk[proj]["bias"]
+            sd[f"{pre}.{hf_name}.output.dense.weight"] = _inv_lin(blk["output_dense"]["kernel"])
+            sd[f"{pre}.{hf_name}.output.dense.bias"] = blk["output_dense"]["bias"]
+            sd[f"{pre}.{hf_name}.output.LayerNorm.weight"] = blk["output_ln"]["scale"]
+            sd[f"{pre}.{hf_name}.output.LayerNorm.bias"] = blk["output_ln"]["bias"]
+        sd[f"{pre}.intermediate_query.dense.weight"] = _inv_lin(qf[f"l{i}_fc1"]["kernel"])
+        sd[f"{pre}.intermediate_query.dense.bias"] = qf[f"l{i}_fc1"]["bias"]
+        sd[f"{pre}.output_query.dense.weight"] = _inv_lin(qf[f"l{i}_fc2"]["kernel"])
+        sd[f"{pre}.output_query.dense.bias"] = qf[f"l{i}_fc2"]["bias"]
+        sd[f"{pre}.output_query.LayerNorm.weight"] = qf[f"l{i}_ffn_ln"]["scale"]
+        sd[f"{pre}.output_query.LayerNorm.bias"] = qf[f"l{i}_ffn_ln"]["bias"]
+
+    sd["language_projection.weight"] = _inv_lin(p["language_projection"]["kernel"])
+    sd["language_projection.bias"] = p["language_projection"]["bias"]
+    lm = p["language_model"]
+    sd["language_model.model.decoder.embed_tokens.weight"] = lm["embed_tokens"]["embedding"]
+    sd["language_model.model.decoder.embed_positions.weight"] = lm["embed_positions"]["embedding"]
+    sd["language_model.model.decoder.final_layer_norm.weight"] = lm["final_layer_norm"]["scale"]
+    sd["language_model.model.decoder.final_layer_norm.bias"] = lm["final_layer_norm"]["bias"]
+    for i in range(dims.lm_layers):
+        pre = f"language_model.model.decoder.layers.{i}"
+        layer = lm[f"layer{i}"]
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{pre}.self_attn.{proj}.weight"] = _inv_lin(layer[proj]["kernel"])
+            sd[f"{pre}.self_attn.{proj}.bias"] = layer[proj]["bias"]
+        for fc in ("fc1", "fc2"):
+            sd[f"{pre}.{fc}.weight"] = _inv_lin(layer[fc]["kernel"])
+            sd[f"{pre}.{fc}.bias"] = layer[fc]["bias"]
+        for ln in ("self_attn_layer_norm", "final_layer_norm"):
+            sd[f"{pre}.{ln}.weight"] = layer[ln]["scale"]
+            sd[f"{pre}.{ln}.bias"] = layer[ln]["bias"]
+    return {k: np.asarray(v) for k, v in sd.items()}
+
+
+def test_blip2_converter_roundtrip():
+    import jax.numpy as jnp
+
+    model = Blip2(dims=TINY_BLIP2)
+    variables = jax.tree.map(
+        np.asarray,
+        model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 28, 28, 3), jnp.float32),
+            jnp.zeros((1, 3), jnp.int32),
+            jnp.zeros((1, 2), jnp.int32),
+        ),
+    )
+    sd = _synthesize_blip2_sd(variables, TINY_BLIP2)
+    converted, unmatched = convert_blip2_state_dict(sd, TINY_BLIP2)
+    assert unmatched == [], unmatched[:10]
+    ref = {jax.tree_util.keystr(p): v
+           for p, v in jax.tree_util.tree_flatten_with_path(variables)[0]}
+    got = {jax.tree_util.keystr(p): v
+           for p, v in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    assert set(got) == set(ref), (set(ref) - set(got), set(got) - set(ref))
+    for key in ref:
+        np.testing.assert_array_equal(got[key], ref[key], err_msg=key)

@@ -88,6 +88,24 @@ def test_timings_recorded(pipeline, rng):
     )
 
 
+def test_pipeline_with_blip2_captioner(rng):
+    """BLIP-2 (non-fusable, beam decode) as the caption backend."""
+    from omniparser_tpu.models.blip2 import TINY_BLIP2, Blip2Captioner
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(default_imgsz=160, max_detections=16, box_threshold=0.05),
+        captioner=CaptionerConfig(backend="blip2", batch_size=4, crop_size=28,
+                                  max_new_tokens=4),
+        ocr=OcrConfig(backend="null"),
+    )
+    cap = Blip2Captioner(cfg.captioner, dims=TINY_BLIP2, num_beams=2)
+    p = SOMPipeline(cfg, captioner=cap)
+    img = rng.integers(0, 255, (100, 120, 3), dtype=np.uint8)
+    _, _, elements = p.parse_image(img)
+    icons = [e for e in elements if e["type"] == "icon"]
+    assert all(isinstance(e["content"], str) for e in icons)
+
+
 def test_annotate_label_positions(rng):
     from omniparser_tpu.annotate import annotate
 
