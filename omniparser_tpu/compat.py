@@ -203,8 +203,10 @@ def get_som_labeled_img(
         cfg, detector=detector, detector_params=detector_params,
         captioner=caption_model_processor, ocr=_ProvidedOCR(),
     )
-    overrides = {}
-    if draw_bbox_config:
-        overrides = draw_bbox_config
-    annotated, label_coordinates, elements = pipeline.parse_image(image_rgb)
+    som_style = dict(draw_bbox_config) if draw_bbox_config else {
+        "text_scale": text_scale, "text_padding": text_padding,
+    }
+    annotated, label_coordinates, elements = pipeline.parse_image(
+        image_rgb, som_style=som_style
+    )
     return encode_image_base64(annotated), label_coordinates, elements

@@ -99,6 +99,13 @@ class PipelineConfig:
     # batching across screenshots (the TPU scaling axis; reference has none)
     max_batch_size: int = 8
 
+    # optional host downscale cap before upload (longest side, pixels).
+    # None = full resolution (reference parity).  Useful when host<->device
+    # bandwidth is the bottleneck (e.g. tunneled TPUs): a 3240px screenshot
+    # at 2048 cuts the upload ~2.5x; detection runs at <=1280px anyway and
+    # only crop/OCR fidelity is affected.
+    max_upload_side: Optional[int] = None
+
     # weight sources (None => random init, for tests/benches)
     detector_weights: Optional[str] = None
     captioner_weights: Optional[str] = None

@@ -278,9 +278,11 @@ class Detector:
         boxes, scores = decode_predictions(level_outputs, self.imgsz)
         boxes, scores = boxes[0], scores[0].max(axis=-1)  # single class max
 
-        # confidence prefilter + static top-k (ultralytics: conf then NMS)
+        # confidence prefilter + static top-k (ultralytics: conf then NMS).
+        # 2x max_det keeps the greedy keep-set identical in practice while
+        # staying under the Pallas NMS VMEM gate (N<=1024, see ops/nms.py).
         keep = scores > conf_threshold
-        k = min(self.max_det * 4, boxes.shape[0])
+        k = min(self.max_det * 2, boxes.shape[0])
         top_scores, top_idx = jax.lax.top_k(jnp.where(keep, scores, -1.0), k)
         top_boxes = boxes[top_idx]
         top_valid = top_scores > 0

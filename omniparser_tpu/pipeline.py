@@ -242,11 +242,18 @@ class SOMPipeline:
         image_rgb: np.ndarray,
         box_threshold: Optional[float] = None,
         iou_threshold: Optional[float] = None,
+        som_style: Optional[Dict] = None,
     ) -> Tuple[np.ndarray, Dict[str, List[float]], List[Dict]]:
-        """np RGB uint8 -> (annotated RGB, label_coordinates, element list)."""
+        """np RGB uint8 -> (annotated RGB, label_coordinates, element list).
+
+        som_style: optional override of the overlay style, with the
+        reference's draw_bbox_config keys (text_scale, text_thickness,
+        text_padding, thickness) — util/omniparser.py:21-27.
+        """
         t: Dict[str, float] = {}
         t0 = time.perf_counter()
         ctx = self._stage_upload(image_rgb)
+        ctx["som_style"] = som_style
         t["upload"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         self._stage_ocr(ctx)
@@ -283,17 +290,30 @@ class SOMPipeline:
 
     def _stage_upload(self, image_rgb: np.ndarray) -> Dict:
         h, w = image_rgb.shape[:2]
-        hb, wb = pick_bucket_2d(h, w)
-        padded, _ = pad_to_bucket(image_rgb, hb, wb)
+        upload = image_rgb
+        cap = self.config.max_upload_side
+        if cap and max(h, w) > cap:
+            # bandwidth-bound deployments: shrink the upload; all bbox
+            # coordinates are normalized so geometry is unaffected
+            import cv2
+
+            scale = cap / max(h, w)
+            upload = cv2.resize(image_rgb, (int(w * scale), int(h * scale)),
+                                interpolation=cv2.INTER_AREA)
+        uh, uw = upload.shape[:2]
+        hb, wb = pick_bucket_2d(uh, uw)
+        padded, _ = pad_to_bucket(upload, hb, wb)
         return {
-            "image": image_rgb, "h": h, "w": w,
+            "image": image_rgb, "h": h, "w": w, "uh": uh, "uw": uw,
             "padded_dev": jnp.asarray(padded),  # single host->device upload
-            "orig_hw": jnp.asarray([h, w], jnp.int32),
+            "orig_hw": jnp.asarray([uh, uw], jnp.int32),
         }
 
     def _stage_ocr(self, ctx: Dict) -> None:
         cfg = self.config
-        h, w = ctx["h"], ctx["w"]
+        # device-side coords live in the uploaded (possibly downscaled)
+        # frame; normalized boxes are frame-independent
+        uh, uw = ctx["uh"], ctx["uw"]
         max_ocr = cfg.ocr.max_text_boxes
         ocr_arr = np.zeros((max_ocr, 4), np.float32)
         ocr_cand_valid = np.zeros(max_ocr, bool)
@@ -303,14 +323,19 @@ class SOMPipeline:
             if fut is None:
                 fut = self._jax_ocr.dispatch_det(ctx["padded_dev"], ctx["orig_hw"])
             prob, r, pads = fut
-            boxes_px = self._jax_ocr.candidates_from_prob(prob, r, pads, h, w)
+            boxes_px = self._jax_ocr.candidates_from_prob(prob, r, pads, uh, uw)
         else:
             host_texts, boxes_px = self.ocr.recognize(
                 ctx["image"], ctx["padded_dev"], ctx["orig_hw"]
             )
+            if (uh, uw) != (ctx["h"], ctx["w"]):
+                # host backends see the original image: rescale to frame
+                sx, sy = uw / ctx["w"], uh / ctx["h"]
+                boxes_px = [[b[0] * sx, b[1] * sy, b[2] * sx, b[3] * sy]
+                            for b in boxes_px]
         n_ocr = min(len(boxes_px), max_ocr)
         if n_ocr:
-            scale = np.array([w, h, w, h], np.float32)
+            scale = np.array([uw, uh, uw, uh], np.float32)
             ocr_arr[:n_ocr] = np.asarray(boxes_px[:n_ocr], np.float32) / scale
             ocr_cand_valid[:n_ocr] = True
         ctx.update(ocr_arr=ocr_arr, ocr_cand_valid=ocr_cand_valid,
@@ -412,14 +437,15 @@ class SOMPipeline:
             axis=1,
         )
         ratio = max(h, w) / cfg.som_base_resolution  # util/omniparser.py:21-27
-        annotated, label_coordinates = annotate(
-            image_rgb,
-            cxcywh,
-            text_scale=cfg.som_text_scale * ratio,
-            text_thickness=max(int(cfg.som_text_thickness * ratio), 1),
-            text_padding=max(int(cfg.som_text_padding * ratio), 1),
-            thickness=max(int(cfg.som_thickness * ratio), 1),
-        )
+        style = {
+            "text_scale": cfg.som_text_scale * ratio,
+            "text_thickness": max(int(cfg.som_text_thickness * ratio), 1),
+            "text_padding": max(int(cfg.som_text_padding * ratio), 1),
+            "thickness": max(int(cfg.som_thickness * ratio), 1),
+        }
+        if ctx.get("som_style"):
+            style.update(ctx["som_style"])
+        annotated, label_coordinates = annotate(image_rgb, cxcywh, **style)
         if cfg.output_coord_in_ratio:
             label_coordinates = {
                 k: [v[0] / w, v[1] / h, v[2] / w, v[3] / h]

@@ -97,3 +97,25 @@ def merge_icons_and_ocr_oracle(icon_boxes, ocr_elems, iou_threshold):
             out.append(icon)
             kept_icons.append((i, labels if labels else None))
     return out, kept_icons
+
+
+def remove_overlap_v1_oracle(boxes, iou_threshold, ocr_bbox=None):
+    """Restatement of the legacy remove_overlap (util/utils.py:178-228)."""
+    def is_inside95(b1, b2):
+        return _inter(b1, b2) / _area(b1) > 0.95
+
+    out = list(ocr_bbox) if ocr_bbox else []
+    for i, b1 in enumerate(boxes):
+        ok = True
+        for j, b2 in enumerate(boxes):
+            if i != j and max_overlap_ratio(b1, b2) > iou_threshold and _area(b1) > _area(b2):
+                ok = False
+                break
+        if not ok:
+            continue
+        if ocr_bbox:
+            if any(max_overlap_ratio(b1, b3) > iou_threshold and not is_inside95(b1, b3)
+                   for b3 in ocr_bbox):
+                continue
+        out.append(list(b1))
+    return out

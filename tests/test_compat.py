@@ -43,4 +43,48 @@ def test_get_caption_model_processor_rejects_unknown():
     from omniparser_tpu.compat import get_caption_model_processor
 
     with pytest.raises(NotImplementedError):
-        get_caption_model_processor("blip2")
+        get_caption_model_processor("phi3v")
+
+
+def test_box_format_helpers():
+    from omniparser_tpu.compat import get_xywh, get_xyxy, get_xywh_yolo
+
+    quad = [[10.2, 20.7], [50, 20.7], [50.9, 40.1], [10.2, 40.1]]
+    assert get_xywh(quad) == (10, 20, 40, 19)
+    assert get_xyxy(quad) == (10, 20, 50, 40)
+    assert get_xywh_yolo([10.2, 20.7, 50.9, 40.1]) == (10, 20, 40, 19)
+
+
+def test_remove_overlap_v1_matches_oracle(rng):
+    from omniparser_tpu.compat import remove_overlap
+    from tests import oracles
+    from tests.conftest import random_boxes
+
+    for trial in range(6):
+        boxes = [list(map(float, b)) for b in random_boxes(rng, 12, max_size=0.3)]
+        ocr = [list(map(float, b)) for b in random_boxes(rng, 4, max_size=0.15)]
+        for ob in (None, ocr):
+            got = remove_overlap(boxes, 0.5, ocr_bbox=ob)
+            want = oracles.remove_overlap_v1_oracle(boxes, 0.5, ocr_bbox=ob)
+            got_r = [tuple(round(float(x), 5) for x in b)
+                     for b in np.asarray(got, np.float64).reshape(-1, 4)]
+            want_r = [tuple(round(float(x), 5) for x in b)
+                      for b in np.asarray(want, np.float64).reshape(-1, 4)]
+            assert got_r == want_r, f"trial {trial} ocr={ob is not None}"
+
+
+def test_predict_yolo_compat(rng):
+    import jax
+
+    from omniparser_tpu.compat import get_yolo_model, predict_yolo
+    from omniparser_tpu.models.yolov8 import Detector
+
+    det = Detector(variant="n", num_classes=1, imgsz=128, max_det=8)
+    model = (det, det.init_params(jax.random.PRNGKey(0)))
+    img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    boxes, conf, phrases = predict_yolo(model, img, box_threshold=0.05,
+                                        iou_threshold=0.1)
+    assert boxes.shape[1] == 4 and len(conf) == len(boxes) == len(phrases)
+    if len(boxes):
+        assert (boxes[:, 0] <= 128).all() and (boxes[:, 1] <= 96).all()
+        assert phrases == [str(i) for i in range(len(boxes))]

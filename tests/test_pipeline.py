@@ -88,6 +88,22 @@ def test_timings_recorded(pipeline, rng):
     )
 
 
+def test_max_upload_side_downscale(rng):
+    """Capped upload: geometry stays normalized, overlay at full res."""
+    cfg = PipelineConfig(
+        detector=DetectorConfig(default_imgsz=160, max_detections=16),
+        captioner=CaptionerConfig(backend="null"),
+        ocr=OcrConfig(backend="null"),
+        max_upload_side=128,
+    )
+    p = SOMPipeline(cfg)
+    img = rng.integers(0, 255, (300, 400, 3), dtype=np.uint8)
+    annotated, coords, elements = p.parse_image(img)
+    assert annotated.shape == img.shape  # overlay on the original
+    for e in elements:
+        assert all(0.0 <= v <= 1.0 for v in e["bbox"])
+
+
 def test_pipeline_with_blip2_captioner(rng):
     """BLIP-2 (non-fusable, beam decode) as the caption backend."""
     from omniparser_tpu.models.blip2 import TINY_BLIP2, Blip2Captioner
