@@ -32,12 +32,15 @@ OMNIPARSER_MODELS = {
 
 
 def make_actor(model: str, provider: str, client: Callable,
-               screen_wh=(1920, 1080), save_folder: Optional[str] = None):
+               screen_wh=(1920, 1080), save_folder: Optional[str] = None,
+               tool_params=None):
     """Model-string actor dispatch (loop.py:59-91)."""
     if model.startswith("claude"):
         from omniparser_tpu.agent.anthropic_agent import AnthropicActor
 
-        return AnthropicActor(model=model)
+        # client must speak the Anthropic shape: (messages, system, tools,
+        # max_tokens) -> (content blocks, usage); None -> real API client
+        return AnthropicActor(model=model, client=client, tool_params=tool_params)
     orchestrated = model.endswith("-orchestrated")
     base = model.removesuffix("-orchestrated")
     if base in OMNIPARSER_MODELS or provider == APIProvider.MOCK:
@@ -62,15 +65,23 @@ def sampling_loop_sync(
     """Yields per-turn state dicts; returns the full message history."""
     computer = ComputerTool(vm_url, settle_s=0.0)
     tools = ToolCollection(computer)
-    parser_client = OmniParserClient(omniparser_url, computer)
+    is_anthropic = model.startswith("claude")
+    parser_client = None if is_anthropic else OmniParserClient(omniparser_url, computer)
     actor = make_actor(model, provider, llm_client,
-                       screen_wh=computer.screen_size(), save_folder=save_folder)
+                       screen_wh=computer.screen_size(), save_folder=save_folder,
+                       tool_params=tools.to_params())
     executor = Executor(tools, output_callback)
 
     messages: List[Dict] = [{"role": "user", "content": task}]
     for turn in range(max_turns):
-        parsed = parser_client.parse_screenshot()
-        assistant, action = actor(messages, parsed, task)
+        if is_anthropic:
+            # Claude computer-use sees the screen through the tool itself
+            # (reference loop.py: the anthropic branch skips the parser)
+            parsed, action = None, None
+            assistant = actor(messages)
+        else:
+            parsed = parser_client.parse_screenshot()
+            assistant, action = actor(messages, parsed, task)
         results = executor(assistant, messages)
         yield {
             "turn": turn,

@@ -334,6 +334,15 @@ class SOMPipeline:
                 boxes_px = [[b[0] * sx, b[1] * sy, b[2] * sx, b[3] * sy]
                             for b in boxes_px]
         n_ocr = min(len(boxes_px), max_ocr)
+        # bucket the OCR slot count so the fused step's recognizer only
+        # processes ~the real candidate count (jit compiles per bucket);
+        # 0 candidates still need >=1 slot for fixed shapes
+        bucket = 32
+        while bucket < max(n_ocr, 1):
+            bucket *= 2
+        bucket = min(bucket, max_ocr)
+        ocr_arr = ocr_arr[:bucket]
+        ocr_cand_valid = ocr_cand_valid[:bucket]
         if n_ocr:
             scale = np.array([uw, uh, uw, uh], np.float32)
             ocr_arr[:n_ocr] = np.asarray(boxes_px[:n_ocr], np.float32) / scale

@@ -196,3 +196,35 @@ def test_anthropic_prune_images():
     assert total == 2
     # newest messages keep their images
     assert pruned[-1]["content"][0]["content"]
+
+
+def test_anthropic_loop_with_fake_client(vm):
+    """Claude computer-use branch: actor sees tools, screenshots flow back
+    as tool_result blocks, no omniparser server involved."""
+    vm_obj, vm_url = vm
+
+    calls = []
+
+    def fake_anthropic(messages, system, tools, max_tokens=4096):
+        calls.append({"messages": messages, "tools": tools})
+        if len(calls) == 1:
+            return [
+                {"type": "text", "text": "Let me look at the screen."},
+                {"type": "tool_use", "id": "toolu_1", "name": "computer",
+                 "input": {"action": "screenshot"}},
+            ], {"input_tokens": 5, "output_tokens": 5}
+        return [{"type": "text", "text": "Done."}], {"input_tokens": 5, "output_tokens": 2}
+
+    turns = list(
+        sampling_loop_sync(
+            task="look at the screen", model="claude-3-5-sonnet-20241022",
+            provider="anthropic", llm_client=fake_anthropic,
+            omniparser_url="http://unused", vm_url=vm_url, max_turns=4,
+        )
+    )
+    assert len(turns) == 2
+    # the computer tool spec reached the API call
+    assert calls[0]["tools"][0]["type"] == "computer_20241022"
+    # the screenshot came back as an image tool_result
+    tr = turns[0]["tool_results"][0]
+    assert any(c["type"] == "image" for c in tr["content"])
