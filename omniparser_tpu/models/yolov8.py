@@ -269,6 +269,7 @@ class Detector:
         orig_hw: jnp.ndarray,  # [2] int32
         conf_threshold,
         nms_iou,
+        allow_pallas: bool = True,  # False under vmap (Mosaic doesn't batch)
     ):
         """Single-image detect (traceable; composes into larger fused
         graphs).  Returns (boxes_norm [max_det,4] xyxy in [0,1],
@@ -287,7 +288,10 @@ class Detector:
         top_boxes = boxes[top_idx]
         top_valid = top_scores > 0
 
-        nb, ns, _, nv = nms_fixed_shape(top_boxes, top_scores, top_valid, nms_iou, self.max_det)
+        nb, ns, _, nv = nms_fixed_shape(
+            top_boxes, top_scores, top_valid, nms_iou, self.max_det,
+            allow_pallas=allow_pallas,
+        )
         # letterboxed pixels -> original pixels -> normalized
         nb = boxes_letterboxed_to_image(nb, r, pad, orig_hw)
         wh = jnp.stack([orig_hw[1], orig_hw[0], orig_hw[1], orig_hw[0]]).astype(jnp.float32)

@@ -26,13 +26,14 @@ def _plain_pairwise_iou(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / jnp.where(union == 0, 1.0, union), 0.0)
 
 
-@partial(jax.jit, static_argnames=("max_out",))
+@partial(jax.jit, static_argnames=("max_out", "allow_pallas"))
 def nms_fixed_shape(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: jnp.ndarray | float,
     max_out: int,
+    allow_pallas: bool = True,
 ):
     """Greedy NMS over fixed slots.
 
@@ -58,8 +59,9 @@ def nms_fixed_shape(
     from omniparser_tpu.ops.pallas_kernels import pallas_nms_keep, use_pallas
 
     # the kernel holds the full N x N fp32 IoU matrix in VMEM (~16 MB/core):
-    # N=1024 -> 4 MB fits; N=2048 -> 16.8 MB does not.
-    if use_pallas() and n <= 1024:
+    # N=1024 -> 4 MB fits; N=2048 -> 16.8 MB does not.  Callers that vmap
+    # this function pass allow_pallas=False (Mosaic kernels don't batch).
+    if allow_pallas and use_pallas() and n <= 1024:
         # single-kernel greedy pass: IoU matrix + suppression scan in VMEM
         keep = pallas_nms_keep(sboxes, svalid, iou_threshold)
     else:

@@ -1,0 +1,186 @@
+"""Batched multi-screenshot parse over a device mesh.
+
+The full multi-chip serving path (the north star's v5e-8 scaling axis):
+same-bucket screenshots stack on a dp-sharded batch dim and one jitted
+graph runs letterbox+detect+NMS, OCR recognition, overlap merge,
+caption-slot compaction and one big Florence decode over B*K crops.
+GSPMD shards the batch over 'dp' (captioner params can additionally shard
+over 'tp' — parallel/mesh.shard_params_fsdp_tp).
+
+Host work stays per-image (connected components, strings, overlay) and is
+pipelined around the single device dispatch.
+
+Relationship to SOMPipeline.parse_batch: that path pipelines *independent*
+per-image graphs — right for mixed bucket sizes on one chip; this path is
+one *batched* graph — right for uniform traffic on a mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from omniparser_tpu.ops.boxes import int_box_area
+from omniparser_tpu.ops.overlap import merge_icons_and_ocr
+from omniparser_tpu.ops.preprocess import crop_resize_batch, letterbox, pad_to_bucket
+from omniparser_tpu.pipeline import SOMPipeline
+
+
+class ShardedParse:
+    """Wraps a SOMPipeline's models into a dp-sharded batched parse.
+
+    Requires the pipeline's OCR backend to be the JAX one (or null) and the
+    captioner to be fusable (Florence) or null.
+    """
+
+    def __init__(self, pipeline: SOMPipeline, mesh):
+        self.p = pipeline
+        self.mesh = mesh
+        self.dp = mesh.shape["dp"]
+        cfg = pipeline.config
+        self._rec = pipeline._jax_ocr.rec if pipeline._jax_ocr else None
+        self._cap = pipeline.fused.captioner
+        batch_sh = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+
+        detector = pipeline.detector
+        rec = self._rec
+        cap = self._cap
+        rec_hw = (cfg.ocr.rec_height, cfg.ocr.rec_max_width)
+        K = cfg.captioner.batch_size
+        crop_size = cfg.captioner.crop_size
+        if cap is not None:
+            from omniparser_tpu.models.florence2 import greedy_generate
+
+            prompt_one = np.asarray(cap.prompt_ids, np.int32)
+            max_new = cfg.captioner.max_new_tokens
+
+        def one_image(det_vars, rec_vars, padded, hw, ocr_boxes, ocr_valid,
+                      conf, nms_iou, merge_iou, text_thr):
+            """Everything except the caption decode (which batches B*K)."""
+            h, w = hw[0], hw[1]
+            det_boxes, det_scores, det_valid = detector.detect_graph(
+                det_vars, padded, hw, conf, nms_iou, allow_pallas=False
+            )
+            det_valid = det_valid & (int_box_area(det_boxes, w, h) > 0)
+            if rec is not None:
+                line_crops = crop_resize_batch(padded, hw, ocr_boxes, rec_hw)
+                from omniparser_tpu.models.ocr import ctc_device_stats
+
+                logits = rec.apply(rec_vars, line_crops / 255.0, train=False)
+                rec_ids, rec_conf, n_chars = ctc_device_stats(logits)
+                ocr_ok = ocr_valid & (n_chars > 0) & (rec_conf > text_thr)
+            else:
+                m = ocr_boxes.shape[0]
+                rec_ids = jnp.zeros((m, 1), jnp.int32)
+                ocr_ok = ocr_valid
+            ocr_ok = ocr_ok & (int_box_area(ocr_boxes, w, h) > 0)
+            res = merge_icons_and_ocr(det_boxes, det_valid, ocr_boxes, ocr_ok, merge_iou)
+
+            out = {"det_boxes": det_boxes, "det_scores": det_scores,
+                   "icon_keep": res.icon_keep, "ocr_keep": res.ocr_keep,
+                   "absorb": res.absorb, "ocr_valid": ocr_ok, "rec_ids": rec_ids}
+            if cap is not None:
+                n = det_boxes.shape[0]
+                need = res.icon_keep & ~res.absorb.any(axis=1)
+                rank = jnp.cumsum(need) - 1
+                dest = jnp.where(need & (rank < K), rank, K)
+                cap_boxes = jnp.zeros((K, 4), det_boxes.dtype).at[dest].set(det_boxes, mode="drop")
+                out["cap_valid"] = jnp.zeros((K,), jnp.bool_).at[dest].set(need, mode="drop")
+                out["cap_src"] = jnp.full((K,), -1, jnp.int32).at[dest].set(
+                    jnp.arange(n, dtype=jnp.int32), mode="drop")
+                out["crops"] = crop_resize_batch(padded, hw, cap_boxes, crop_size)
+            return out
+
+        def batched(det_vars, rec_vars, cap_vars, images, hws, ocr_boxes, ocr_valid,
+                    conf, nms_iou, merge_iou, text_thr):
+            out = jax.vmap(
+                one_image, in_axes=(None, None, 0, 0, 0, 0, None, None, None, None)
+            )(det_vars, rec_vars, images, hws, ocr_boxes, ocr_valid,
+              conf, nms_iou, merge_iou, text_thr)
+            if cap is not None:
+                b = images.shape[0]
+                crops = out.pop("crops").reshape((b * K,) + (crop_size, crop_size, 3))
+                prompt = jnp.asarray(np.tile(prompt_one[None], (1, 1)))
+                prompt = jnp.tile(prompt, (b * K, 1))
+                tokens = greedy_generate(cap.model, cap_vars, cap.preprocess(crops),
+                                         prompt, max_new)
+                out["cap_tokens"] = tokens.reshape(b, K, -1)
+            return out
+
+        self._fn = jax.jit(
+            batched,
+            in_shardings=(rep, rep, rep, batch_sh, batch_sh, batch_sh, batch_sh,
+                          rep, rep, rep, rep),
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def parse_images(self, images: Sequence[np.ndarray]):
+        """Same-bucket batched parse.  Returns SOMPipeline result tuples."""
+        cfg = self.p.config
+        n = len(images)
+        b = -(-n // self.dp) * self.dp  # dp-divisible batch
+
+        # shared bucket + uploads (per-image host pad, one stacked array)
+        ctxs = [self.p._stage_upload(img) for img in images]
+        hb = max(int(c["padded_dev"].shape[0]) for c in ctxs)
+        wb = max(int(c["padded_dev"].shape[1]) for c in ctxs)
+        batch = np.zeros((b, hb, wb, 3), np.uint8)
+        hws = np.ones((b, 2), np.int32)
+        for i, ctx in enumerate(ctxs):
+            img = np.asarray(ctx["padded_dev"])
+            batch[i, : img.shape[0], : img.shape[1]] = img
+            hws[i] = (ctx["uh"], ctx["uw"])
+        images_dev = jnp.asarray(batch)
+        hws_dev = jnp.asarray(hws)
+
+        # per-image OCR proposals (batched det net, host components)
+        max_ocr = cfg.ocr.max_text_boxes
+        ocr_arr = np.zeros((b, max_ocr, 4), np.float32)
+        ocr_valid = np.zeros((b, max_ocr), bool)
+        if self.p._jax_ocr is not None:
+            jocr = self.p._jax_ocr
+            lb = jax.vmap(lambda im, hw: letterbox(im, hw, cfg.ocr.det_imgsz)[0])(
+                images_dev, hws_dev
+            )
+            probs = np.asarray(jocr._det_fn(jocr.det_params, lb)[..., 0])
+            for i, ctx in enumerate(ctxs):
+                _, r, pads = letterbox(ctxs[i]["padded_dev"], hws_dev[i], cfg.ocr.det_imgsz)
+                boxes_px = jocr.candidates_from_prob(
+                    probs[i], r, pads, int(hws[i, 0]), int(hws[i, 1])
+                )
+                m = min(len(boxes_px), max_ocr)
+                if m:
+                    scale = np.array([hws[i, 1], hws[i, 0], hws[i, 1], hws[i, 0]], np.float32)
+                    ocr_arr[i, :m] = np.asarray(boxes_px[:m], np.float32) / scale
+                    ocr_valid[i, :m] = True
+                ctxs[i]["n_ocr"] = m
+                ctxs[i]["host_texts"] = None
+        else:
+            for ctx in ctxs:
+                ctx["n_ocr"] = 0
+                ctx["host_texts"] = []
+
+        cap_vars = self._cap.params if self._cap else 0
+        rec_vars = self.p._jax_ocr.rec_params if self.p._jax_ocr else 0
+        out = jax.device_get(
+            self._fn(
+                self.p.detector_params, rec_vars, cap_vars, images_dev, hws_dev,
+                jnp.asarray(ocr_arr), jnp.asarray(ocr_valid),
+                jnp.float32(cfg.detector.box_threshold),
+                jnp.float32(cfg.detector.nms_iou_threshold),
+                jnp.float32(cfg.iou_threshold), jnp.float32(cfg.ocr.text_threshold),
+            )
+        )
+
+        results = []
+        for i, ctx in enumerate(ctxs):
+            ctx["ocr_arr"] = ocr_arr[i]
+            ctx["out"] = {k: v[i] for k, v in out.items()}
+            results.append(self.p._stage_finish(ctx))
+        return results
