@@ -15,6 +15,12 @@ import numpy as np
 from omniparser_tpu.config import CaptionerConfig, DetectorConfig, OcrConfig, PipelineConfig
 from omniparser_tpu.ocr import check_ocr_box  # noqa: F401  (same signature)
 
+_PIPELINE_CACHE: Dict = {}
+_PIPELINE_CACHE_MAX = 4  # FIFO-evicted; each entry pins compiled graphs+params
+import threading as _threading
+
+_compat_lock = _threading.Lock()
+
 
 def get_xywh(input) -> Tuple[int, int, int, int]:
     """Quad (4 corner points) -> int xywh (util/utils.py:489-492)."""
@@ -176,17 +182,17 @@ def get_som_labeled_img(
             img = np.asarray(img.convert("RGB"))
         image_rgb = np.asarray(img)
 
+    # thresholds stay OUT of the config/cache key: parse_image takes them as
+    # traced per-call values, so sweeping them reuses one compiled graph
     base = PipelineConfig()
+    use_cap = bool(use_local_semantics and caption_model_processor)
     cfg = dataclasses.replace(
         base,
-        iou_threshold=iou_threshold,
         use_local_semantics=use_local_semantics,
         output_coord_in_ratio=output_coord_in_ratio,
-        detector=dataclasses.replace(base.detector, box_threshold=BOX_TRESHOLD),
         captioner=dataclasses.replace(
             base.captioner, batch_size=batch_size,
-            backend="florence" if (use_local_semantics and caption_model_processor)
-            else "null",
+            backend="florence" if use_cap else "null",
         ),
         ocr=dataclasses.replace(base.ocr, backend="null"),  # ocr passed in
     )
@@ -199,14 +205,33 @@ def get_som_labeled_img(
         def recognize(self, image_rgb, padded_dev=None, orig_hw=None):
             return list(ocr_text), [list(b) for b in (ocr_bbox or [])]
 
-    pipeline = SOMPipeline(
-        cfg, detector=detector, detector_params=detector_params,
-        captioner=caption_model_processor, ocr=_ProvidedOCR(),
-    )
     som_style = dict(draw_bbox_config) if draw_bbox_config else {
         "text_scale": text_scale, "text_padding": text_padding,
     }
-    annotated, label_coordinates, elements = pipeline.parse_image(
-        image_rgb, som_style=som_style
-    )
+
+    # jit caches live on the pipeline instance: reuse one per
+    # (config, models).  The lock serializes the per-call mutable state
+    # (ocr closure, params) — concurrent callers get consistent parses.
+    key = (cfg, id(detector), id(caption_model_processor))
+    with _compat_lock:
+        pipeline = _PIPELINE_CACHE.get(key)
+        if pipeline is None:
+            pipeline = SOMPipeline(
+                cfg, detector=detector, detector_params=detector_params,
+                # use_local_semantics=False: icons must keep content None
+                # (util/utils.py:463-465) — never wire a captioner in
+                captioner=caption_model_processor if use_cap else None,
+                ocr=_ProvidedOCR(),
+            )
+            if len(_PIPELINE_CACHE) >= _PIPELINE_CACHE_MAX:
+                _PIPELINE_CACHE.pop(next(iter(_PIPELINE_CACHE)))
+            _PIPELINE_CACHE[key] = pipeline
+        else:
+            pipeline.ocr = _ProvidedOCR()
+            if detector_params is not None:
+                pipeline.detector_params = detector_params
+        annotated, label_coordinates, elements = pipeline.parse_image(
+            image_rgb, box_threshold=BOX_TRESHOLD, iou_threshold=iou_threshold,
+            som_style=som_style,
+        )
     return encode_image_base64(annotated), label_coordinates, elements

@@ -88,3 +88,30 @@ def test_predict_yolo_compat(rng):
     if len(boxes):
         assert (boxes[:, 0] <= 128).all() and (boxes[:, 1] <= 96).all()
         assert phrases == [str(i) for i in range(len(boxes))]
+
+
+def test_get_som_labeled_img_reuses_pipeline(rng):
+    """Repeated calls must reuse the cached pipeline (no recompile storm)."""
+    from omniparser_tpu import compat
+
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    kw = dict(BOX_TRESHOLD=0.05, ocr_bbox=[[5, 5, 30, 15]], ocr_text=["x"],
+              use_local_semantics=False, iou_threshold=0.7)
+    compat.get_som_labeled_img(img, **kw)
+    n_pipelines = len(compat._PIPELINE_CACHE)
+    compat.get_som_labeled_img(img, **kw)
+    assert len(compat._PIPELINE_CACHE) == n_pipelines
+
+
+def test_threshold_sweep_reuses_pipeline(rng):
+    """Thresholds are traced per-call values, not cache-key material."""
+    from omniparser_tpu import compat
+
+    compat._PIPELINE_CACHE.clear()
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    for thr in (0.01, 0.03, 0.05):
+        compat.get_som_labeled_img(img, BOX_TRESHOLD=thr, ocr_bbox=[[5, 5, 30, 15]],
+                                   ocr_text=["x"], use_local_semantics=False,
+                                   iou_threshold=0.5 + thr)
+    # one entry for this (cfg, models) combination regardless of thresholds
+    assert len(compat._PIPELINE_CACHE) == 1
