@@ -20,7 +20,6 @@ icon_detect weights convert 1:1 (see weights/convert_yolo.py).
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Any, Sequence, Tuple
 
@@ -210,9 +209,11 @@ class YOLOv8(nn.Module):
         )(feats, train)
 
 
-def decode_predictions(level_outputs, imgsz: int):
+def decode_predictions(level_outputs):
     """DFL decode: per-level (box_logits, cls_logits) -> [B, A, 4] xyxy in
-    letterboxed pixels + [B, A, nc] sigmoid scores, concatenated over levels."""
+    letterboxed pixels + [B, A, nc] sigmoid scores, concatenated over levels.
+    (Geometry comes entirely from the feature-map shapes x STRIDES; the
+    letterbox target must be consistent with those shapes.)"""
     boxes_all, scores_all = [], []
     bins = jnp.arange(REG_MAX, dtype=jnp.float32)
     for (box, cls), stride in zip(level_outputs, STRIDES):
@@ -276,7 +277,7 @@ class Detector:
         scores [max_det], valid [max_det])."""
         img, r, pad = letterbox(padded_u8, orig_hw, self.imgsz)
         level_outputs = self.module.apply(variables, img[None], train=False)
-        boxes, scores = decode_predictions(level_outputs, self.imgsz)
+        boxes, scores = decode_predictions(level_outputs)
         boxes, scores = boxes[0], scores[0].max(axis=-1)  # single class max
 
         # confidence prefilter + static top-k (ultralytics: conf then NMS).

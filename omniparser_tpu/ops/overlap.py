@@ -23,6 +23,13 @@ order-independent:
 
 So the whole pass reduces to three boolean matrices computed in one XLA
 graph; only the final string concatenation happens on host.
+
+Numerics note: thresholds are compared in float32 on device, while the
+reference compares in Python float64.  At *exact* threshold ties (e.g. a
+containment ratio of precisely 0.80 from grid-aligned pixel boxes) the two
+can disagree by one ULP and flip an absorb/keep decision; randomized
+float64-oracle fuzzing shows no other divergence class.  This is inherent
+to fp32 device math and left as-is.
 """
 
 from __future__ import annotations

@@ -59,10 +59,11 @@ class ShardedParse:
             prompt_one = np.asarray(cap.prompt_ids, np.int32)
             max_new = cfg.captioner.max_new_tokens
 
-        def one_image(det_vars, rec_vars, padded, hw, ocr_boxes, ocr_valid,
+        def one_image(det_vars, rec_vars, padded, hw, true_hw, ocr_boxes, ocr_valid,
                       conf, nms_iou, merge_iou, text_thr):
             """Everything except the caption decode (which batches B*K)."""
-            h, w = hw[0], hw[1]
+            # int_box_area gates run at ORIGINAL dims (see pipeline.FusedParseStep)
+            h, w = true_hw[0], true_hw[1]
             det_boxes, det_scores, det_valid = detector.detect_graph(
                 det_vars, padded, hw, conf, nms_iou, allow_pallas=False
             )
@@ -96,11 +97,11 @@ class ShardedParse:
                 out["crops"] = crop_resize_batch(padded, hw, cap_boxes, crop_size)
             return out
 
-        def batched(det_vars, rec_vars, cap_vars, images, hws, ocr_boxes, ocr_valid,
-                    conf, nms_iou, merge_iou, text_thr):
+        def batched(det_vars, rec_vars, cap_vars, images, hws, true_hws,
+                    ocr_boxes, ocr_valid, conf, nms_iou, merge_iou, text_thr):
             out = jax.vmap(
-                one_image, in_axes=(None, None, 0, 0, 0, 0, None, None, None, None)
-            )(det_vars, rec_vars, images, hws, ocr_boxes, ocr_valid,
+                one_image, in_axes=(None, None, 0, 0, 0, 0, 0, None, None, None, None)
+            )(det_vars, rec_vars, images, hws, true_hws, ocr_boxes, ocr_valid,
               conf, nms_iou, merge_iou, text_thr)
             if cap is not None:
                 b = images.shape[0]
@@ -114,8 +115,8 @@ class ShardedParse:
 
         self._fn = jax.jit(
             batched,
-            in_shardings=(rep, rep, rep, batch_sh, batch_sh, batch_sh, batch_sh,
-                          rep, rep, rep, rep),
+            in_shardings=(rep, rep, rep, batch_sh, batch_sh, batch_sh,
+                          batch_sh, batch_sh, rep, rep, rep, rep),
         )
 
     # ------------------------------------------------------------------ #
@@ -168,9 +169,13 @@ class ShardedParse:
 
         cap_vars = self._cap.params if self._cap else 0
         rec_vars = self.p._jax_ocr.rec_params if self.p._jax_ocr else 0
+        true_hws = np.ones((b, 2), np.int32)
+        for i, ctx in enumerate(ctxs):
+            true_hws[i] = (ctx["h"], ctx["w"])
         out = jax.device_get(
             self._fn(
                 self.p.detector_params, rec_vars, cap_vars, images_dev, hws_dev,
+                jnp.asarray(true_hws),
                 jnp.asarray(ocr_arr), jnp.asarray(ocr_valid),
                 jnp.float32(cfg.detector.box_threshold),
                 jnp.float32(cfg.detector.nms_iou_threshold),

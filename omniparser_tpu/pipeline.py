@@ -27,7 +27,6 @@ with content-less icons sorted last and captioned in order
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -75,8 +74,7 @@ class FusedParseStep:
                  rec=None, rec_params=None, captioner=None):
         self.detector = detector
         self.cfg = cfg
-        self.rec = rec
-        self.rec_params = rec_params
+        self.rec = rec  # rec params travel per-call (see _stage_dispatch)
         self.captioner = captioner  # FlorenceCaptioner or None
         self.K = cfg.captioner.batch_size
         self._fn = jax.jit(self._build())
@@ -100,11 +98,16 @@ class FusedParseStep:
             max_new = cfg.captioner.max_new_tokens
             preprocess = self.captioner.preprocess
 
-        def fn(det_vars, rec_vars, cap_vars, padded, hw,
+        def fn(det_vars, rec_vars, cap_vars, padded, hw, true_hw,
                ocr_boxes_norm, ocr_cand_valid,
                conf_thr, nms_iou, merge_iou, text_thr):
-            h = hw[0]
-            w = hw[1]
+            # hw: the uploaded (possibly downscaled) frame, drives geometry;
+            # true_hw: the ORIGINAL dims — the reference evaluates the
+            # int_box_area zero-area gate at original resolution
+            # (util/utils.py:401-405), so validity must too even when
+            # max_upload_side shrank the upload
+            h = true_hw[0]
+            w = true_hw[1]
             det_boxes, det_scores, det_valid = detector.detect_graph(
                 det_vars, padded, hw, conf_thr, nms_iou
             )
@@ -160,9 +163,9 @@ class FusedParseStep:
 
         return fn
 
-    def __call__(self, det_vars, rec_vars, cap_vars, padded, hw,
+    def __call__(self, det_vars, rec_vars, cap_vars, padded, hw, true_hw,
                  ocr_boxes_norm, ocr_cand_valid, conf, nms_iou, merge_iou, text_thr):
-        return self._fn(det_vars, rec_vars, cap_vars, padded, hw,
+        return self._fn(det_vars, rec_vars, cap_vars, padded, hw, true_hw,
                         ocr_boxes_norm, ocr_cand_valid,
                         jnp.float32(conf), jnp.float32(nms_iou),
                         jnp.float32(merge_iou), jnp.float32(text_thr))
@@ -324,15 +327,14 @@ class SOMPipeline:
                 fut = self._jax_ocr.dispatch_det(ctx["padded_dev"], ctx["orig_hw"])
             prob, r, pads = fut
             boxes_px = self._jax_ocr.candidates_from_prob(prob, r, pads, uh, uw)
+            frame_wh = (uw, uh)
         else:
+            # host backends see the original image; normalized coords are
+            # frame-independent, so divide by the original dims directly
             host_texts, boxes_px = self.ocr.recognize(
                 ctx["image"], ctx["padded_dev"], ctx["orig_hw"]
             )
-            if (uh, uw) != (ctx["h"], ctx["w"]):
-                # host backends see the original image: rescale to frame
-                sx, sy = uw / ctx["w"], uh / ctx["h"]
-                boxes_px = [[b[0] * sx, b[1] * sy, b[2] * sx, b[3] * sy]
-                            for b in boxes_px]
+            frame_wh = (ctx["w"], ctx["h"])
         n_ocr = min(len(boxes_px), max_ocr)
         # bucket the OCR slot count so the fused step's recognizer only
         # processes ~the real candidate count (jit compiles per bucket);
@@ -344,7 +346,8 @@ class SOMPipeline:
         ocr_arr = ocr_arr[:bucket]
         ocr_cand_valid = ocr_cand_valid[:bucket]
         if n_ocr:
-            scale = np.array([uw, uh, uw, uh], np.float32)
+            fw, fh = frame_wh
+            scale = np.array([fw, fh, fw, fh], np.float32)
             ocr_arr[:n_ocr] = np.asarray(boxes_px[:n_ocr], np.float32) / scale
             ocr_cand_valid[:n_ocr] = True
         ctx.update(ocr_arr=ocr_arr, ocr_cand_valid=ocr_cand_valid,
@@ -358,6 +361,7 @@ class SOMPipeline:
         rec_vars = self._jax_ocr.rec_params if self._jax_ocr else 0
         ctx["out"] = self.fused(
             self.detector_params, rec_vars, cap_vars, ctx["padded_dev"], ctx["orig_hw"],
+            jnp.asarray([ctx["h"], ctx["w"]], jnp.int32),
             jnp.asarray(ctx["ocr_arr"]), jnp.asarray(ctx["ocr_cand_valid"]),
             box_threshold, cfg.detector.nms_iou_threshold,
             iou_threshold, cfg.ocr.text_threshold,
@@ -490,11 +494,27 @@ class SOMPipeline:
             lines.append(f"{kind} Box ID {i}: {e['content']}")
         return lines
 
-    def warmup(self, shapes: Sequence[Tuple[int, int]] = ((1080, 1920), (2160, 3840))) -> None:
-        """Compile the device graphs for the common raw buckets."""
+    def warmup(self, shapes: Sequence[Tuple[int, int]] = ((1080, 1920), (2160, 3840)),
+               ocr_buckets: Sequence[int] = (32, 64, 128, 256)) -> None:
+        """Compile the device graphs for the common raw buckets AND every
+        OCR slot bucket (blank warmup images yield ~0 candidates, which
+        would otherwise leave the 64/128/256-slot fused variants to compile
+        on the first dense-text production screenshot)."""
         for h, w in shapes:
             img = np.zeros((h, w, 3), np.uint8)
-            self.parse_image(img)
+            self.parse_image(img)  # compiles ocr-det graph + smallest bucket
+            ctx = self._stage_upload(img)
+            for bucket in ocr_buckets:
+                if bucket > self.config.ocr.max_text_boxes:
+                    continue
+                wctx = dict(
+                    ctx,
+                    ocr_arr=np.zeros((bucket, 4), np.float32),
+                    ocr_cand_valid=np.zeros(bucket, bool),
+                    n_ocr=0, host_texts=None,
+                )
+                self._stage_dispatch(wctx, None, None)
+                jax.device_get(wctx["out"])
 
 
 class Omniparser:
@@ -502,12 +522,28 @@ class Omniparser:
 
     def __init__(self, config: PipelineConfig | dict):
         if isinstance(config, dict):
-            # accept the reference's config-dict shape (omniparserserver.py:29-32)
+            # accept the reference's config-dict shape (omniparserserver.py:29-32):
+            # som_model_path / caption_model_name / caption_model_path /
+            # BOX_TRESHOLD all map onto PipelineConfig
+            import dataclasses
+
             pc = PipelineConfig()
-            if "BOX_TRESHOLD" in config:
-                pc = PipelineConfig(
-                    detector=type(pc.detector)(box_threshold=config["BOX_TRESHOLD"]),
-                )
+            pc = dataclasses.replace(
+                pc,
+                detector=dataclasses.replace(
+                    pc.detector,
+                    box_threshold=config.get("BOX_TRESHOLD", pc.detector.box_threshold),
+                ),
+                captioner=dataclasses.replace(
+                    pc.captioner,
+                    backend={"florence2": "florence", "blip2": "blip2"}.get(
+                        config.get("caption_model_name", "florence2"),
+                        pc.captioner.backend,
+                    ),
+                ),
+                detector_weights=config.get("som_model_path"),
+                captioner_weights=config.get("caption_model_path"),
+            )
             config = pc
         self.config = config
         self.pipeline = SOMPipeline(config)

@@ -49,7 +49,7 @@ def test_decode_geometry():
     for stride in STRIDES:
         h = s // stride
         outs.append((jnp.zeros((b, h, h, 4 * REG_MAX)), jnp.zeros((b, h, h, 1))))
-    boxes, scores = decode_predictions(outs, s)
+    boxes, scores = decode_predictions(outs)
     total = sum((s // st) ** 2 for st in STRIDES)
     assert boxes.shape == (1, total, 4)
     # first anchor of stride 8: center (0.5, 0.5) strides, dist 7.5 strides
