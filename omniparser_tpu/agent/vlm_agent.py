@@ -60,8 +60,13 @@ def parse_agent_response(text: str) -> Dict:
 def box_id_to_coords(
     box_id: int, elements: List[Dict], screen_wh: Tuple[int, int]
 ) -> Tuple[int, int]:
-    """Box ID -> centroid pixels (vlm_agent.py:150-153; bboxes are ratio xyxy)."""
-    bbox = elements[box_id]["bbox"]
+    """Box ID -> centroid pixels (vlm_agent.py:150-153; bboxes are ratio xyxy).
+    Raises ValueError on hallucinated / out-of-range ids (callers degrade
+    gracefully, like the reference's try/except around the conversion)."""
+    idx = int(box_id)
+    if not 0 <= idx < len(elements):
+        raise ValueError(f"Box ID {box_id} out of range (0..{len(elements) - 1})")
+    bbox = elements[idx]["bbox"]
     w, h = screen_wh
     return int((bbox[0] + bbox[2]) / 2 * w), int((bbox[1] + bbox[3]) / 2 * h)
 
@@ -69,7 +74,9 @@ def box_id_to_coords(
 def make_tool_use_blocks(action: Dict, elements: List[Dict],
                          screen_wh: Tuple[int, int]) -> List[Dict]:
     """Synthesize tool_use content blocks (mouse_move + action), matching
-    the reference's BetaToolUseBlock emission (vlm_agent.py:184-204)."""
+    the reference's BetaToolUseBlock emission (vlm_agent.py:184-204).
+    Invalid/hallucinated Box IDs degrade to no action (reference wraps the
+    conversion in try/except and continues)."""
     next_action = action.get("Next Action")
     if next_action in (None, "None", ""):
         return []
@@ -79,13 +86,21 @@ def make_tool_use_blocks(action: Dict, elements: List[Dict],
         return {"type": "tool_use", "id": f"toolu_{uuid.uuid4().hex[:12]}",
                 "name": "computer", "input": tool_input}
 
-    if "Box ID" in action and action["Box ID"] is not None and next_action != "type":
-        x, y = box_id_to_coords(int(action["Box ID"]), elements, screen_wh)
-        blocks.append(block({"action": "mouse_move", "coordinate": [x, y]}))
+    coords = None
+    if action.get("Box ID") is not None:
+        try:
+            coords = box_id_to_coords(action["Box ID"], elements, screen_wh)
+        except (ValueError, TypeError, KeyError):
+            coords = None
+
+    if coords is not None:
+        # the reference emits mouse_move before every action incl. type
+        # (vlm_agent.py:184-190); the tool's click variants click in place
+        blocks.append(block({"action": "mouse_move", "coordinate": list(coords)}))
+    elif action.get("Box ID") is not None and next_action not in ("scroll_up", "scroll_down", "wait"):
+        # targeted action with an unusable target: skip rather than misfire
+        return []
     if next_action == "type":
-        if "Box ID" in action and action["Box ID"] is not None:
-            x, y = box_id_to_coords(int(action["Box ID"]), elements, screen_wh)
-            blocks.append(block({"action": "left_click", "coordinate": [x, y]}))
         blocks.append(block({"action": "type", "text": action.get("value", "")}))
     else:
         blocks.append(block({"action": next_action}))
@@ -133,7 +148,11 @@ class VLMAgent:
         return {"role": "assistant", "content": blocks}, action
 
     def _prune_images(self, messages: List[Dict]) -> List[Dict]:
-        """Keep only the newest max_images screenshots (vlm_agent.py:296-353)."""
+        """Keep only the newest max_images-1 screenshots in the history
+        (the fresh SOM screenshot appended after pruning makes max_images
+        total — vlm_agent.py:296-353).  Pruned images become text stubs so
+        no message is left with empty content (APIs reject those)."""
+        budget = max(self.max_images - 1, 0)
         seen = 0
         out = []
         for m in reversed(messages):
@@ -143,7 +162,8 @@ class VLMAgent:
                 for b in reversed(content):
                     if b.get("type") == "image":
                         seen += 1
-                        if seen > self.max_images:
+                        if seen > budget:
+                            kept.append({"type": "text", "text": "(screenshot pruned)"})
                             continue
                     kept.append(b)
                 m = {**m, "content": list(reversed(kept))}

@@ -322,6 +322,9 @@ def blip2_generate(model: Blip2, params, pixel_values, prompt_ids,
         decode_step, last_logits[:, -1], tuple(caches), b, k, max_new_tokens,
         d.vocab_size, eos_token_id=d.eos_token_id, pad_token_id=d.pad_token_id,
         length_penalty=length_penalty, no_repeat_ngram_size=no_repeat_ngram_size,
+        # decoder-only HF semantics: the text prompt joins the n-gram scan
+        # and the length normalization (query embeds have no token ids)
+        prompt_tokens=prompt_ids, length_offset=prompt_ids.shape[1],
     )
     return tokens, scores
 

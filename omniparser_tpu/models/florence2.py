@@ -268,24 +268,40 @@ class Florence2VisionEncoder(nn.Module):
 
 
 class BartAttention(nn.Module):
-    """Multi-head attention with optional KV cache (decode) and cross-attn."""
+    """Multi-head attention with optional KV cache (decode) and cross-attn.
+
+    For cross-attention during decode, pass `kv_heads=(k, v)` (head-split,
+    precomputed once from the encoder states via `project_kv`) so the scan
+    doesn't re-project the full encoder sequence every step.
+    """
 
     d_model: int
     heads: int
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, kv=None, mask=None, cache=None, cache_index=None):
+    def setup(self):
+        self.q_proj = nn.Dense(self.d_model, dtype=self.dtype)
+        self.k_proj = nn.Dense(self.d_model, dtype=self.dtype)
+        self.v_proj = nn.Dense(self.d_model, dtype=self.dtype)
+        self.out_proj = nn.Dense(self.d_model, dtype=self.dtype)
+
+    def _split(self, t):
         hd = self.d_model // self.heads
-        kv_in = x if kv is None else kv
-        q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(kv_in)
-        v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(kv_in)
+        return t.reshape(t.shape[0], t.shape[1], self.heads, hd)
 
-        def split(t):
-            return t.reshape(t.shape[0], t.shape[1], self.heads, hd)
+    def project_kv(self, kv_in):
+        """Head-split (k, v) of encoder states — hoist out of decode loops."""
+        return self._split(self.k_proj(kv_in)), self._split(self.v_proj(kv_in))
 
-        q, k, v = map(split, (q, k, v))
+    def __call__(self, x, kv=None, mask=None, cache=None, cache_index=None,
+                 kv_heads=None):
+        hd = self.d_model // self.heads
+        q = self._split(self.q_proj(x))
+        if kv_heads is not None:
+            k, v = kv_heads
+        else:
+            kv_in = x if kv is None else kv
+            k, v = self._split(self.k_proj(kv_in)), self._split(self.v_proj(kv_in))
 
         if cache is not None:
             # decode step: write this step's k/v at cache_index
@@ -301,8 +317,7 @@ class BartAttention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(out.shape[0], out.shape[1], self.d_model)
-        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
-        return out, cache
+        return self.out_proj(out), cache
 
 
 class BartEncoderLayer(nn.Module):
@@ -324,24 +339,31 @@ class BartDecoderLayer(nn.Module):
     dims: FlorenceDims
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, enc, self_mask, cross_mask, cache=None, cache_index=None):
+    def setup(self):
         d = self.dims
-        y, cache = BartAttention(d.d_model, d.attn_heads, self.dtype, name="self_attn")(
-            x, mask=self_mask, cache=cache, cache_index=cache_index
-        )
-        x = nn.LayerNorm(dtype=jnp.float32, name="self_attn_layer_norm")(x + y).astype(self.dtype)
-        y, _ = BartAttention(d.d_model, d.attn_heads, self.dtype, name="encoder_attn")(
-            x, kv=enc, mask=cross_mask
-        )
-        x = nn.LayerNorm(dtype=jnp.float32, name="encoder_attn_layer_norm")(x + y).astype(self.dtype)
-        y = nn.Dense(d.ffn_dim, dtype=self.dtype, name="fc1")(x)
+        self.self_attn = BartAttention(d.d_model, d.attn_heads, self.dtype)
+        self.self_attn_layer_norm = nn.LayerNorm(dtype=jnp.float32)
+        self.encoder_attn = BartAttention(d.d_model, d.attn_heads, self.dtype)
+        self.encoder_attn_layer_norm = nn.LayerNorm(dtype=jnp.float32)
+        self.fc1 = nn.Dense(d.ffn_dim, dtype=self.dtype)
+        self.fc2 = nn.Dense(d.d_model, dtype=self.dtype)
+        self.final_layer_norm = nn.LayerNorm(dtype=jnp.float32)
+
+    def cross_kv(self, enc):
+        """Precompute this layer's cross-attention K/V from encoder states
+        (hoisted out of the decode scan — the encoder sequence is fixed)."""
+        return self.encoder_attn.project_kv(enc)
+
+    def __call__(self, x, enc, self_mask, cross_mask, cache=None,
+                 cache_index=None, cross_kv=None):
+        y, cache = self.self_attn(x, mask=self_mask, cache=cache, cache_index=cache_index)
+        x = self.self_attn_layer_norm(x + y).astype(self.dtype)
+        y, _ = self.encoder_attn(x, kv=enc, mask=cross_mask, kv_heads=cross_kv)
+        x = self.encoder_attn_layer_norm(x + y).astype(self.dtype)
+        y = self.fc1(x)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(d.d_model, dtype=self.dtype, name="fc2")(y)
-        return (
-            nn.LayerNorm(dtype=jnp.float32, name="final_layer_norm")(x + y).astype(self.dtype),
-            cache,
-        )
+        y = self.fc2(y)
+        return self.final_layer_norm(x + y).astype(self.dtype), cache
 
 
 class Florence2LM(nn.Module):
@@ -387,9 +409,16 @@ class Florence2LM(nn.Module):
         # BART scale_embedding=False for florence-2 language config
         return self.shared(ids)
 
-    def decode_step(self, token_ids, step, enc, enc_mask, caches):
+    def cross_kvs(self, enc):
+        """Per-layer precomputed cross-attention (k, v) — compute once per
+        generate call, not once per decode step."""
+        return [layer.cross_kv(enc) for layer in self.dec_layers]
+
+    def decode_step(self, token_ids, step, enc_mask, caches, cross_kvs):
         """One greedy step: token_ids [B,1] at position `step`.
-        caches: per-layer (k,v) [B, max_len, H, hd].  Returns (logits, caches)."""
+        caches: per-layer (k,v) [B, max_len, H, hd];
+        cross_kvs: per-layer precomputed encoder (k, v).
+        Returns (logits, caches)."""
         h = self.embed_tokens(token_ids) + self.dec_pos(step + 2)[None, None]
         h = self.dec_ln(h).astype(self.dtype)
         max_len = caches[0][0].shape[1]
@@ -397,8 +426,9 @@ class Florence2LM(nn.Module):
         self_mask = (jnp.arange(max_len) <= step)[None, None, None, :]
         cross_mask = enc_mask[:, None, None, :]
         new_caches = []
-        for layer, cache in zip(self.dec_layers, caches):
-            h, cache = layer(h, enc, self_mask, cross_mask, cache=cache, cache_index=step)
+        for layer, cache, ckv in zip(self.dec_layers, caches, cross_kvs):
+            h, cache = layer(h, None, self_mask, cross_mask,
+                             cache=cache, cache_index=step, cross_kv=ckv)
             new_caches.append(cache)
         logits = h.astype(jnp.float32) @ self.shared.embedding.T.astype(jnp.float32)
         return logits + self.final_logits_bias, new_caches
@@ -448,14 +478,17 @@ class Florence2(nn.Module):
         return embeds, jnp.concatenate([img_mask, txt_mask], axis=1)
 
     def encode_inputs(self, pixel_values, prompt_ids):
-        """Encoder half of generate: returns (enc states, enc mask)."""
+        """Encoder half of generate: returns (per-layer cross K/V, enc mask).
+        The encoder states themselves are not needed downstream — only
+        their cross-attention projections, computed here once."""
         embeds, mask = self._build_encoder_inputs(pixel_values, prompt_ids)
-        return self.lm.encode(embeds, mask), mask
+        enc = self.lm.encode(embeds, mask)
+        return self.lm.cross_kvs(enc), mask
 
-    def decode_one(self, token_ids, step, enc, enc_mask, caches):
+    def decode_one(self, token_ids, step, enc_mask, caches, cross_kvs):
         """One greedy decode step (exposed for the lax.scan loop in
         FlorenceCaptioner / greedy_generate)."""
-        return self.lm.decode_step(token_ids, step, enc, enc_mask, caches)
+        return self.lm.decode_step(token_ids, step, enc_mask, caches, cross_kvs)
 
 
 def greedy_generate(model: Florence2, params, pixel_values, prompt_ids,
@@ -466,22 +499,27 @@ def greedy_generate(model: Florence2, params, pixel_values, prompt_ids,
     (matches the reference's generation args at util/utils.py:115).
     """
     d = model.dims
-    enc, mask = model.apply(params, pixel_values, prompt_ids, method=Florence2.encode_inputs)
-    b = enc.shape[0]
+    cross_kvs, mask = model.apply(
+        params, pixel_values, prompt_ids, method=Florence2.encode_inputs
+    )
+    b = mask.shape[0]
+    dt = cross_kvs[0][0].dtype
     heads, hd = d.attn_heads, d.d_model // d.attn_heads
     caches = tuple(
         (
-            jnp.zeros((b, max_new_tokens, heads, hd), enc.dtype),
-            jnp.zeros((b, max_new_tokens, heads, hd), enc.dtype),
+            jnp.zeros((b, max_new_tokens, heads, hd), dt),
+            jnp.zeros((b, max_new_tokens, heads, hd), dt),
         )
         for _ in range(d.decoder_layers)
     )
     start = jnp.full((b, 1), d.decoder_start_token_id, jnp.int32)
+    cross_kvs = tuple(tuple(kv) for kv in cross_kvs)
 
     def step(carry, t):
         tok, caches, done = carry
         logits, caches = model.apply(
-            params, tok, t, enc, mask, list(caches), method=Florence2.decode_one
+            params, tok, t, mask, list(caches), list(cross_kvs),
+            method=Florence2.decode_one,
         )
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, d.pad_token_id, nxt)

@@ -1,15 +1,23 @@
-"""Decoding engines: greedy + beam search as single lax.scan graphs.
+"""Decoding engines: beam search as a single lax.scan graph.
 
 The reference's BLIP-2 path generates with num_beams=5,
 no_repeat_ngram_size=2, early_stopping (util/utils.py:117); HF's generate
 loop re-dispatches from host per token.  Here beam search is one jitted
 scan: beams fold into the batch axis, KV caches are gathered on beam
 reorder, and the bigram ban is a fixed-shape scatter mask.
+
+HF parity details:
+  * the n-gram ban scans the FULL running sequence — prompt tokens
+    included for decoder-only models (pass `prompt_tokens`), so bigrams
+    crossing the prompt/generation boundary are banned too;
+  * final ranking divides by the full hypothesis length (prompt + new
+    tokens for decoder-only, i.e. `length_offset`), matching HF's
+    BeamHypotheses.add.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +26,7 @@ NEG_INF = -1e9
 
 
 class BeamState(NamedTuple):
-    tokens: jnp.ndarray  # [B, K, T] emitted tokens (pad-filled)
+    tokens: jnp.ndarray  # [B, K, P+T] prompt ++ emitted tokens (pad-filled)
     last: jnp.ndarray  # [B, K] last token fed to the decoder
     scores: jnp.ndarray  # [B, K] cumulative logprob
     done: jnp.ndarray  # [B, K] beam finished
@@ -27,7 +35,8 @@ class BeamState(NamedTuple):
 
 def _ban_repeated_bigrams(tokens, last, length, vocab: int):
     """Mask [B, K, V]: forbid token v if (last, v) already occurred in the
-    emitted prefix (HF no_repeat_ngram_size=2 semantics)."""
+    running sequence (HF no_repeat_ngram_size=2 semantics).  `tokens`
+    includes the prompt prefix; `length` is the current sequence length."""
     b, k, t = tokens.shape
     pos = jnp.arange(t)
     # pairs (tokens[i], tokens[i+1]) for i+1 < length
@@ -54,6 +63,8 @@ def beam_search(
     pad_token_id: int,
     length_penalty: float = 1.0,
     no_repeat_ngram_size: int = 0,
+    prompt_tokens: Optional[jnp.ndarray] = None,
+    length_offset: int = 0,
 ):
     """Generic beam search.
 
@@ -64,20 +75,36 @@ def beam_search(
     position prefix+s) and returning logits for token_{s+1}.
     init_caches leaves must already be beam-flattened to leading dim B*K.
 
+    prompt_tokens [B, P] (optional): text prompt for decoder-only models —
+    participates in the n-gram ban.  length_offset: token count added to
+    the generated length when rank-normalizing (HF counts the prompt for
+    decoder-only models).
+
     Returns (tokens [B, max_new_tokens] of the best beam, norm scores [B]).
     """
     k = num_beams
+    p = 0 if prompt_tokens is None else prompt_tokens.shape[1]
 
     def flatten(x):  # [B, K, ...] -> [B*K, ...]
         return x.reshape((batch * k,) + x.shape[2:])
 
-    # seed beams from the prefill logits
+    # seed beams from the prefill logits, honoring the prompt-boundary ban
     logp0 = jax.nn.log_softmax(init_logits.astype(jnp.float32), axis=-1)
+    buf = jnp.full((batch, k, p + max_new_tokens), pad_token_id, jnp.int32)
+    if p:
+        buf = buf.at[:, :, :p].set(
+            jnp.tile(prompt_tokens.astype(jnp.int32)[:, None, :], (1, k, 1))
+        )
+        if no_repeat_ngram_size == 2:
+            banned0 = _ban_repeated_bigrams(
+                buf, prompt_tokens[:, -1].astype(jnp.int32)[:, None].repeat(k, 1),
+                jnp.full((batch, k), p), vocab_size,
+            )[:, 0]  # beams identical at t=0
+            logp0 = jnp.where(banned0, NEG_INF, logp0)
     scores0, tok0 = jax.lax.top_k(logp0, k)  # [B, K]
     tok0 = tok0.astype(jnp.int32)
     init = BeamState(
-        tokens=jnp.full((batch, k, max_new_tokens), pad_token_id, jnp.int32)
-        .at[:, :, 0].set(tok0),
+        tokens=buf.at[:, :, p].set(tok0),
         last=tok0,
         scores=scores0,
         done=tok0 == eos_token_id,
@@ -85,7 +112,7 @@ def beam_search(
     )
 
     def step(state: BeamState, s):
-        t = s + 1  # index of the token being chosen this step
+        t = p + s + 1  # buffer index of the token being chosen this step
         logits, caches = decode_step(flatten(state.last)[:, None], s, state.caches)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         logp = logp.reshape(batch, k, vocab_size)
@@ -120,10 +147,11 @@ def beam_search(
 
     final, _ = jax.lax.scan(step, init, jnp.arange(max_new_tokens - 1))
 
-    # rank by length-penalized score (HF: score / len**penalty)
-    lengths = (final.tokens != pad_token_id).sum(-1).astype(jnp.float32)
+    # rank by length-penalized score; HF counts the full hypothesis length
+    gen = final.tokens[:, :, p:]
+    lengths = (gen != pad_token_id).sum(-1).astype(jnp.float32) + length_offset
     norm = final.scores / jnp.maximum(lengths, 1.0) ** length_penalty
     best = jnp.argmax(norm, axis=1)
-    tokens = jnp.take_along_axis(final.tokens, best[:, None, None], axis=1)[:, 0]
+    tokens = jnp.take_along_axis(gen, best[:, None, None], axis=1)[:, 0]
     scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
     return tokens, scores

@@ -38,6 +38,15 @@ class MicroBatcher:
         self._stop.set()
         self._queue.put(None)  # wake the worker
         self._thread.join(timeout=5)
+        # fail any requests still queued (or racing close) instead of
+        # leaving their callers blocked on .result() forever
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("batcher closed"))
 
     # ------------------------------------------------------------------ #
 
@@ -67,6 +76,11 @@ class MicroBatcher:
             futures = [b[1] for b in batch]
             try:
                 results = self._process(items)
+                if len(results) != len(items):  # silent drops would hang callers
+                    raise RuntimeError(
+                        f"process_batch returned {len(results)} results for "
+                        f"{len(items)} items"
+                    )
                 for fut, res in zip(futures, results):
                     fut.set_result(res)
             except Exception as e:  # noqa: BLE001 — propagate to all callers

@@ -62,8 +62,9 @@ class OmniparserServer:
         self._decode = decode_base64_image
         self._encode = encode_image_base64
 
-        def process_batch(images_b64):
-            images = [self._decode(b64) for b64 in images_b64]
+        def process_batch(images):
+            # items are pre-decoded np arrays: a bad-base64 request fails in
+            # its own handler thread (400) and can't poison batch-mates
             if hasattr(self.pipeline, "parse_batch"):
                 results = self.pipeline.parse_batch(images)
             else:  # test fakes
@@ -80,7 +81,8 @@ class OmniparserServer:
 
     def parse(self, base64_image: str):
         t0 = time.perf_counter()
-        som_b64, elements = self.batcher.submit(base64_image).result()
+        image = self._decode(base64_image)  # per-request; errors -> 400 here
+        som_b64, elements = self.batcher.submit(image).result()
         return {
             "som_image_base64": som_b64,
             "parsed_content_list": elements,
@@ -126,12 +128,16 @@ class OmniparserServer:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     data = json.loads(self.rfile.read(length) or b"{}")
+                    if not isinstance(data, dict):
+                        raise TypeError("body must be a JSON object")
                     b64 = data["base64_image"]
-                except (json.JSONDecodeError, KeyError) as e:
+                except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
                     self._send(400, {"error": f"bad request: {e}"})
                     return
                 try:
                     self._send(200, server.parse(b64))
+                except (ValueError, OSError) as e:  # bad image payloads
+                    self._send(400, {"error": f"bad image: {e}"})
                 except Exception as e:  # noqa: BLE001
                     self._send(500, {"error": str(e)})
 

@@ -109,12 +109,39 @@ def test_make_tool_use_blocks_click_and_type():
         {"Next Action": "left_click", "Box ID": 0}, elems, (100, 100)
     )
     assert [b["input"]["action"] for b in blocks] == ["mouse_move", "left_click"]
+    # reference emits mouse_move (not a click) before type (vlm_agent.py:184-190)
     blocks = make_tool_use_blocks(
         {"Next Action": "type", "Box ID": 0, "value": "hi"}, elems, (100, 100)
     )
-    assert [b["input"]["action"] for b in blocks] == ["left_click", "type"]
+    assert [b["input"]["action"] for b in blocks] == ["mouse_move", "type"]
     assert blocks[-1]["input"]["text"] == "hi"
     assert make_tool_use_blocks({"Next Action": "None"}, elems, (100, 100)) == []
+
+
+def test_make_tool_use_blocks_bad_box_id():
+    elems = [{"bbox": [0.0, 0.0, 0.2, 0.2]}]
+    # hallucinated / negative / non-numeric ids degrade to no action
+    for bad in (42, -1, "3."):
+        blocks = make_tool_use_blocks(
+            {"Next Action": "left_click", "Box ID": bad}, elems, (100, 100)
+        )
+        assert blocks == [], bad
+    # untargeted actions still work with a bad id attached
+    blocks = make_tool_use_blocks(
+        {"Next Action": "scroll_down", "Box ID": 99}, elems, (100, 100)
+    )
+    assert [b["input"]["action"] for b in blocks] == ["scroll_down"]
+
+
+def test_prune_images_budget_and_no_empty_content():
+    agent = VLMAgent(model="m", client=lambda *a, **k: ("{}", {}), max_images=2)
+    img_msg = lambda: {"role": "user", "content": [
+        {"type": "image", "source": {"data": "x"}}]}
+    pruned = agent._prune_images([img_msg(), img_msg(), img_msg()])
+    total_imgs = sum(1 for m in pruned for b in m["content"] if b["type"] == "image")
+    # budget = max_images - 1 (the fresh screenshot is appended afterwards)
+    assert total_imgs == 1
+    assert all(m["content"] for m in pruned)  # no empty content lists
 
 
 def test_sampling_loop_end_to_end(vm, parse_server):

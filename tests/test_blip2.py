@@ -209,3 +209,30 @@ def test_blip2_captioner_end_to_end():
     crops = jnp.zeros((3, 28, 28, 3), jnp.float32)
     out = cap.caption_crops(crops, np.array([True, False, True]))
     assert len(out) == 2 and all(isinstance(s, str) for s in out)
+
+
+def test_beam_search_bans_prompt_boundary_bigram(rng):
+    """HF decoder-only semantics: bigrams from the prompt participate in
+    the no-repeat-ngram scan, including the prompt/generation boundary."""
+    v = 6
+    # prompt ends ... 3, 4 ; LM strongly wants 4 after 3 again
+    prompt = jnp.asarray([[2, 3, 4]], jnp.int32)
+    table = np.full((v, v), -5.0, np.float32)
+    table[4, 3] = 5.0   # after 4 -> 3
+    table[3, 4] = 5.0   # after 3 -> 4 (banned: (3,4) is a prompt bigram)
+    table[3, 2] = 1.0
+    init = np.full((1, v), -5.0, np.float32)
+    init[0, 3] = 5.0    # boundary pair would be (4, 3)? no: last prompt tok is 4
+    init[0, 4] = 6.0    # (4, 4) not banned; but (4, 3)... set up below
+    # last prompt token is 4; prompt contains (3,4) and (2,3).
+    # init prefers 4 -> but pair (4,4) not in prompt so allowed.
+    tokens, _ = beam_search(
+        _toy_decode_step(jnp.asarray(table)), jnp.asarray(init), (),
+        1, 2, 4, v, eos_token_id=5, pad_token_id=0, no_repeat_ngram_size=2,
+        prompt_tokens=prompt, length_offset=3,
+    )
+    got = [int(x) for x in np.asarray(tokens)[0]]
+    # wherever a 3 appears, the next token must never be 4 (prompt bigram)
+    full = [2, 3, 4] + got
+    pairs = [(full[i], full[i + 1]) for i in range(len(full) - 1)]
+    assert pairs.count((3, 4)) <= 1  # only the prompt occurrence
