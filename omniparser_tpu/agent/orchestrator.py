@@ -83,8 +83,14 @@ class VLMOrchestratedAgent(VLMAgent):
         assistant, action = super().__call__(messages, parsed_screen, effective_task)
         latency = time.perf_counter() - t0
 
-        # trajectory line + screenshot (reference :129-133, :273-285)
+        # trajectory line + screenshot + parsed elements (reference
+        # :129-133, :273-285 — the reference persists these "for training
+        # data pipelines"; train/trajectory_data.py consumes them)
         self._persist_screenshot(parsed_screen, self.step_count)
+        self._persist(
+            f"step{self.step_count}_elements.json",
+            parsed_screen.get("parsed_content_list", []),
+        )
         self._append_trajectory(
             {
                 "step": self.step_count,
