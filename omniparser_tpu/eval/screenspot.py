@@ -93,17 +93,22 @@ class ScreenSpotModel:
         }
 
 
+def _point_in_box(pred, gt_bbox) -> bool:
+    """The single correctness rule (shared by scorer + log writer)."""
+    if pred is None:
+        return False
+    x, y = pred
+    x1, y1, x2, y2 = gt_bbox
+    return x1 <= x <= x2 and y1 <= y <= y2
+
+
 def score_records(records: List[Dict]) -> Dict:
     """Accuracy by group (the reference log's schema: pred point in gt
     bbox => correct).  Record: {'pred': [x,y] ratio or px, 'gt_bbox':
     [x1,y1,x2,y2], 'group': str}."""
     by_group: Dict[str, List[bool]] = {}
     for r in records:
-        ok = False
-        if r.get("pred") is not None:
-            x, y = r["pred"]
-            x1, y1, x2, y2 = r["gt_bbox"]
-            ok = x1 <= x <= x2 and y1 <= y <= y2
+        ok = _point_in_box(r.get("pred"), r["gt_bbox"])
         by_group.setdefault(r.get("group", "all"), []).append(ok)
     out = {g: float(np.mean(v)) for g, v in by_group.items()}
     total = [ok for v in by_group.values() for ok in v]
@@ -126,9 +131,9 @@ def run_eval(model: ScreenSpotModel, dataset: List[Dict], log_path: Optional[str
             "pred": res["point"],
             "gt_bbox": row["gt_bbox"],
         }
-        x, y = (res["point"] or (-1, -1))
-        x1, y1, x2, y2 = row["gt_bbox"]
-        rec["correctness"] = "correct" if (x1 <= x <= x2 and y1 <= y <= y2) else "wrong"
+        rec["correctness"] = (
+            "correct" if _point_in_box(res["point"], row["gt_bbox"]) else "wrong"
+        )
         records.append(rec)
     if log_path:
         with open(log_path, "w") as f:

@@ -66,13 +66,14 @@ class OverlapResult(NamedTuple):
     icon_suppressed: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("allow_pallas",))
 def merge_icons_and_ocr(
     icon_boxes: jnp.ndarray,
     icon_valid: jnp.ndarray,
     ocr_boxes: jnp.ndarray,
     ocr_valid: jnp.ndarray,
     iou_threshold: jnp.ndarray | float,
+    allow_pallas: bool = True,
 ) -> OverlapResult:
     """Fixed-shape merge of icon detections with OCR text boxes.
 
@@ -80,12 +81,32 @@ def merge_icons_and_ocr(
       icon_boxes: [N, 4] normalized xyxy; icon_valid: [N] bool (padding False).
       ocr_boxes: [M, 4] normalized xyxy; ocr_valid: [M] bool.
       iou_threshold: icon-vs-icon suppression threshold (server: 0.7).
+      allow_pallas: vmapping callers pass False (Mosaic kernels don't batch).
     """
     n = icon_boxes.shape[0]
     m = ocr_boxes.shape[0]
 
+    import os
+
+    from omniparser_tpu.ops.pallas_kernels import pallas_overlap_matrices, use_pallas
+
+    # Opt-in: the fused Pallas kernel is exact-match-verified on TPU but
+    # measures slightly slower than XLA's own fusion of these matrices
+    # (PERF.md), so XLA stays the default.  VMEM budget: ratio [N,N] +
+    # 2x [N,M] int32 must fit comfortably.
+    opt_in = os.environ.get("OMNIPARSER_TPU_PALLAS_MERGE", "0") not in ("0", "false")
+    if allow_pallas and opt_in and use_pallas() and n * (n + 2 * m) * 4 <= 4 * 2 ** 20:
+        ratio, a_geom, b_geom = pallas_overlap_matrices(icon_boxes, ocr_boxes)
+        a = a_geom & ocr_valid[None, :]
+        b = b_geom & ocr_valid[None, :]
+    else:
+        ratio = pairwise_max_overlap_ratio(icon_boxes, icon_boxes)  # [N, N]
+        # a[i, k]: OCR k sits >80% inside icon i  (is_inside(ocr, icon))
+        a = (containment_ratio(ocr_boxes, icon_boxes).T > _INSIDE_THRESHOLD) & ocr_valid[None, :]
+        # b[i, k]: icon i sits >80% inside OCR k  (is_inside(icon, ocr))
+        b = (containment_ratio(icon_boxes, ocr_boxes) > _INSIDE_THRESHOLD) & ocr_valid[None, :]
+
     # --- icon-vs-icon suppression (keep the smaller box) ---
-    ratio = pairwise_max_overlap_ratio(icon_boxes, icon_boxes)  # [N, N]
     area = box_area(icon_boxes)
     not_self = ~jnp.eye(n, dtype=bool)
     bigger = area[:, None] > area[None, :]
@@ -93,12 +114,7 @@ def merge_icons_and_ocr(
     icon_suppressed = suppressed_by.any(axis=1) & icon_valid
     icon_pass = icon_valid & ~icon_suppressed
 
-    # --- OCR absorption / icon-inside-OCR rules ---
-    # a[i, k]: OCR k sits >80% inside icon i  (is_inside(ocr, icon))
-    a = (containment_ratio(ocr_boxes, icon_boxes).T > _INSIDE_THRESHOLD) & ocr_valid[None, :]
-    # b[i, k]: icon i sits >80% inside OCR k  (is_inside(icon, ocr)); the
-    # reference's elif only fires when the `a` branch didn't.
-    b = (containment_ratio(icon_boxes, ocr_boxes) > _INSIDE_THRESHOLD) & ocr_valid[None, :]
+    # the reference's elif only fires when the `a` branch didn't
     b = b & ~a
 
     ks = jnp.arange(m)

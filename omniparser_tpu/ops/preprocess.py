@@ -144,11 +144,15 @@ def crop_resize_batch(
         y2 = jnp.trunc(box[3] * h)
         cw = jnp.maximum(x2 - x1, 1.0)
         ch = jnp.maximum(y2 - y1, 1.0)
-        # cv2.resize half-pixel centers: src = (dst + 0.5) * (crop/out) - 0.5
+        # cv2.resize half-pixel centers: src = (dst + 0.5) * (crop/out) - 0.5.
+        # Clamp relative coords to [0, cw-1] BEFORE the x1 shift: for
+        # degenerate boxes (trunc width < 1, cw clamped to 1) a clip bound of
+        # x2-1 < x1 would sample outside the box (and diverge from
+        # pallas_crop's sampling).
         js = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (cw / out_w) - 0.5
         is_ = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (ch / out_h) - 0.5
-        xs = jnp.clip(x1 + js, x1, x2 - 1.0)
-        ys = jnp.clip(y1 + is_, y1, y2 - 1.0)
+        xs = x1 + jnp.clip(js, 0.0, jnp.maximum(cw - 1.0, 0.0))
+        ys = y1 + jnp.clip(is_, 0.0, jnp.maximum(ch - 1.0, 0.0))
         # also clamp into the valid (unpadded) image region
         xs = jnp.clip(xs, 0.0, w - 1.0)
         ys = jnp.clip(ys, 0.0, h - 1.0)

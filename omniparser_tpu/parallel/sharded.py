@@ -38,7 +38,9 @@ class ShardedDetector:
 
         def fn(variables, images, hws, conf, iou):
             return jax.vmap(
-                lambda img, hw: detector.detect_graph(variables, img, hw, conf, iou)
+                lambda img, hw: detector.detect_graph(
+                    variables, img, hw, conf, iou, allow_pallas=False  # Mosaic doesn't vmap
+                )
             )(images, hws)
 
         self._fn = jax.jit(

@@ -38,6 +38,13 @@ class ShardedParse:
     """
 
     def __init__(self, pipeline: SOMPipeline, mesh):
+        from omniparser_tpu.ocr import NullOCR
+
+        if pipeline._jax_ocr is None and not isinstance(pipeline.ocr, NullOCR):
+            raise ValueError(
+                "ShardedParse requires the JAX OCR backend (or null); host "
+                "OCR backends would silently produce zero text elements here"
+            )
         self.p = pipeline
         self.mesh = mesh
         self.dp = mesh.shape["dp"]
@@ -80,7 +87,8 @@ class ShardedParse:
                 rec_ids = jnp.zeros((m, 1), jnp.int32)
                 ocr_ok = ocr_valid
             ocr_ok = ocr_ok & (int_box_area(ocr_boxes, w, h) > 0)
-            res = merge_icons_and_ocr(det_boxes, det_valid, ocr_boxes, ocr_ok, merge_iou)
+            res = merge_icons_and_ocr(det_boxes, det_valid, ocr_boxes, ocr_ok,
+                                      merge_iou, allow_pallas=False)
 
             out = {"det_boxes": det_boxes, "det_scores": det_scores,
                    "icon_keep": res.icon_keep, "ocr_keep": res.ocr_keep,
@@ -127,18 +135,26 @@ class ShardedParse:
         n = len(images)
         b = -(-n // self.dp) * self.dp  # dp-divisible batch
 
-        # shared bucket + uploads (per-image host pad, one stacked array)
-        ctxs = [self.p._stage_upload(img) for img in images]
-        hb = max(int(c["padded_dev"].shape[0]) for c in ctxs)
-        wb = max(int(c["padded_dev"].shape[1]) for c in ctxs)
+        # shared bucket, ONE stacked host->device upload (no per-image
+        # device round trips — _host_pad stays in numpy)
+        padded_list = []
+        ctxs = []
+        for img in images:
+            padded, h, w, uh, uw = self.p._host_pad(img)
+            padded_list.append(padded)
+            ctxs.append({"image": img, "h": h, "w": w, "uh": uh, "uw": uw})
+        hb = max(p.shape[0] for p in padded_list)
+        wb = max(p.shape[1] for p in padded_list)
         batch = np.zeros((b, hb, wb, 3), np.uint8)
         hws = np.ones((b, 2), np.int32)
-        for i, ctx in enumerate(ctxs):
-            img = np.asarray(ctx["padded_dev"])
-            batch[i, : img.shape[0], : img.shape[1]] = img
+        for i, (ctx, padded) in enumerate(zip(ctxs, padded_list)):
+            batch[i, : padded.shape[0], : padded.shape[1]] = padded
             hws[i] = (ctx["uh"], ctx["uw"])
         images_dev = jnp.asarray(batch)
         hws_dev = jnp.asarray(hws)
+        for i, ctx in enumerate(ctxs):  # _stage_finish needs these
+            ctx["padded_dev"] = images_dev[i]
+            ctx["orig_hw"] = hws_dev[i]
 
         # per-image OCR proposals (batched det net, host components)
         max_ocr = cfg.ocr.max_text_boxes
@@ -146,18 +162,20 @@ class ShardedParse:
         ocr_valid = np.zeros((b, max_ocr), bool)
         if self.p._jax_ocr is not None:
             jocr = self.p._jax_ocr
-            lb = jax.vmap(lambda im, hw: letterbox(im, hw, cfg.ocr.det_imgsz)[0])(
+            det_s = cfg.ocr.det_imgsz
+            lb = jax.vmap(lambda im, hw: letterbox(im, hw, det_s)[0])(
                 images_dev, hws_dev
             )
             probs = np.asarray(jocr._det_fn(jocr.det_params, lb)[..., 0])
             for i, ctx in enumerate(ctxs):
-                _, r, pads = letterbox(ctxs[i]["padded_dev"], hws_dev[i], cfg.ocr.det_imgsz)
-                boxes_px = jocr.candidates_from_prob(
-                    probs[i], r, pads, int(hws[i, 0]), int(hws[i, 1])
-                )
+                # closed-form letterbox params (host math; no device sync)
+                uh, uw = int(hws[i, 0]), int(hws[i, 1])
+                r = min(det_s / uh, det_s / uw)
+                pads = ((det_s - uh * r) / 2.0, (det_s - uw * r) / 2.0)
+                boxes_px = jocr.candidates_from_prob(probs[i], r, pads, uh, uw)
                 m = min(len(boxes_px), max_ocr)
                 if m:
-                    scale = np.array([hws[i, 1], hws[i, 0], hws[i, 1], hws[i, 0]], np.float32)
+                    scale = np.array([uw, uh, uw, uh], np.float32)
                     ocr_arr[i, :m] = np.asarray(boxes_px[:m], np.float32) / scale
                     ocr_valid[i, :m] = True
                 ctxs[i]["n_ocr"] = m

@@ -291,7 +291,9 @@ class SOMPipeline:
 
     # ----------------------------- stages ----------------------------- #
 
-    def _stage_upload(self, image_rgb: np.ndarray) -> Dict:
+    def _host_pad(self, image_rgb: np.ndarray):
+        """Host half of upload: optional downscale + bucket pad (numpy).
+        Returns (padded np array, h, w, uh, uw)."""
         h, w = image_rgb.shape[:2]
         upload = image_rgb
         cap = self.config.max_upload_side
@@ -306,6 +308,10 @@ class SOMPipeline:
         uh, uw = upload.shape[:2]
         hb, wb = pick_bucket_2d(uh, uw)
         padded, _ = pad_to_bucket(upload, hb, wb)
+        return padded, h, w, uh, uw
+
+    def _stage_upload(self, image_rgb: np.ndarray) -> Dict:
+        padded, h, w, uh, uw = self._host_pad(image_rgb)
         return {
             "image": image_rgb, "h": h, "w": w, "uh": uh, "uw": uw,
             "padded_dev": jnp.asarray(padded),  # single host->device upload

@@ -34,9 +34,9 @@ def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None) -> Dict[st
 
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), like
-        )
+        # abstract shapes only — never materialize (device trees would copy
+        # the full params to host just to read dtypes)
+        abstract = jax.eval_shape(lambda t: t, like)
         return ckptr.restore(os.path.abspath(path), abstract)
     return ckptr.restore(os.path.abspath(path))
 

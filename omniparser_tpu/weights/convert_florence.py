@@ -108,8 +108,8 @@ def convert_florence_state_dict(
                 _set(params, root + [davit_cpe[rest], "proj"],
                      "kernel" if is_weight else "bias", _conv(v) if is_weight else v)
             elif rest in davit_dense:
-                _set(params, root + (["attn"] if rest.startswith("attn") else ["mlp"])
-                     + ([davit_dense[rest]] if not rest.startswith("attn") else [davit_dense[rest]]),
+                sub = "attn" if rest.startswith("attn") else "mlp"
+                _set(params, root + [sub, davit_dense[rest]],
                      "kernel" if is_weight else "bias", _lin(v) if is_weight else v)
             elif rest in davit_norms:
                 _set(params, root + [davit_norms[rest]], "scale" if is_weight else "bias", v)
@@ -118,7 +118,7 @@ def convert_florence_state_dict(
             continue
 
         # projection head around the tower
-        if base == "image_projection" or base == "image_projection.weight".rsplit(".", 1)[0]:
+        if base == "image_projection":
             _set(params, ["vision"], "image_projection",
                  v if v.shape[0] != dims.d_model else np.transpose(v))
             continue
