@@ -209,12 +209,12 @@ class JaxOCR:
     det_params: Any = None
     rec_params: Any = None
 
+    weights: Any = None  # orbax checkpoint dir {'det': vars, 'rec': vars}
+
     def __post_init__(self):
         self.det = TextDetector()
         self.rec = TextRecognizer()
         if self.det_params is None:
-            if self.config and getattr(self.config, "weights", None):
-                raise NotImplementedError("load via weights/convert_ocr.py")
             k1, k2 = jax.random.split(jax.random.PRNGKey(42))
             # det params are spatial-size independent -> init small & fast;
             # rec has a width-dependent pos_embed -> init at real rec shape.
@@ -224,6 +224,16 @@ class JaxOCR:
             self.rec_params = jax.jit(partial(self.rec.init, train=False))(
                 k2, jnp.zeros((1, self.config.rec_height, self.config.rec_max_width, 3))
             )
+            if self.weights:
+                # trained nets saved by weights/checkpoints.py (e.g. via the
+                # OCR fine-tune objectives in train/ocr_losses.py)
+                from omniparser_tpu.weights.checkpoints import load_checkpoint
+
+                like = {"det": jax.tree.map(np.asarray, self.det_params),
+                        "rec": jax.tree.map(np.asarray, self.rec_params)}
+                restored = load_checkpoint(self.weights, like=like)
+                self.det_params = restored["det"]
+                self.rec_params = restored["rec"]
         self._det_fn = jax.jit(partial(self.det.apply, train=False))
         self._rec_fn = jax.jit(partial(self.rec.apply, train=False))
 

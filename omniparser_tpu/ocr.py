@@ -75,13 +75,13 @@ class PaddleOCRBackend:
         return texts, boxes
 
 
-def make_ocr_backend(config: OcrConfig):
+def make_ocr_backend(config: OcrConfig, weights: str | None = None):
     if config.backend == "null":
         return NullOCR()
     if config.backend == "jax":
         from omniparser_tpu.models.ocr import JaxOCR
 
-        return JaxOCR(config)
+        return JaxOCR(config, weights=weights)
     if config.backend == "easyocr":
         return EasyOCRBackend(config)
     if config.backend == "paddle":

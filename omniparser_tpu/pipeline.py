@@ -221,7 +221,7 @@ class SOMPipeline:
         if ocr is None:
             from omniparser_tpu.ocr import make_ocr_backend
 
-            ocr = make_ocr_backend(config.ocr)
+            ocr = make_ocr_backend(config.ocr, weights=config.ocr_weights)
         self.ocr = ocr
 
         from omniparser_tpu.models.ocr import JaxOCR

@@ -90,3 +90,28 @@ def test_check_ocr_box_signature(rng):
     backend = NullOCR()
     (texts, bb), goal = check_ocr_box(img, output_bb_format="xywh", backend=backend)
     assert texts == [] and bb == [] and goal is None
+
+
+def test_jax_ocr_loads_trained_weights(tmp_path, rng):
+    """Train-save-load loop: fine-tuned OCR nets restore into the backend
+    (closes the PipelineConfig.ocr_weights path end to end)."""
+    import jax
+
+    from omniparser_tpu.weights.checkpoints import save_checkpoint
+
+    cfg = OcrConfig(det_imgsz=128, rec_max_width=64)
+    trained = JaxOCR(cfg)  # pretend these params were fine-tuned
+    marked_det = jax.tree.map(lambda x: np.asarray(x) + 1.0, trained.det_params)
+    path = save_checkpoint(str(tmp_path / "ocr"), {
+        "det": marked_det,
+        "rec": jax.tree.map(np.asarray, trained.rec_params),
+    })
+
+    loaded = JaxOCR(cfg, weights=path)
+    leaf = jax.tree_util.tree_leaves(loaded.det_params)[0]
+    ref = jax.tree_util.tree_leaves(trained.det_params)[0]
+    np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref) + 1.0)
+    # and it still runs end to end
+    img = rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+    texts, boxes = loaded.recognize(img)
+    assert len(texts) == len(boxes)
