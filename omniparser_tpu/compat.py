@@ -99,6 +99,47 @@ def remove_overlap(boxes, iou_threshold: float, ocr_bbox: Optional[List] = None)
     return kept
 
 
+def get_parsed_content_icon(filtered_boxes, starting_idx, image_source,
+                            caption_model_processor, prompt=None,
+                            batch_size: int = 128) -> List[str]:
+    """Reference signature (util/utils.py:78-122): caption the non-OCR
+    boxes of an image.  filtered_boxes: [N,4] normalized xyxy (array-like);
+    starting_idx: first content-less index (boxes before it are skipped);
+    caption_model_processor: a captioner from get_caption_model_processor."""
+    import jax.numpy as jnp
+
+    from omniparser_tpu.ops.preprocess import crop_resize_batch, pad_to_bucket, pick_bucket_2d
+
+    img = image_source
+    if hasattr(img, "convert"):
+        img = np.asarray(img.convert("RGB"))
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    boxes = np.asarray(filtered_boxes, np.float32).reshape(-1, 4)
+    if starting_idx:
+        boxes = boxes[starting_idx:]
+    if len(boxes) == 0:
+        return []
+
+    hb, wb = pick_bucket_2d(h, w)
+    padded, _ = pad_to_bucket(img, hb, wb)
+    padded_dev = jnp.asarray(padded)
+    hw = jnp.asarray([h, w], jnp.int32)
+    crop_size = getattr(caption_model_processor, "config", CaptionerConfig()).crop_size
+
+    out: List[str] = []
+    pad_n = -(-len(boxes) // batch_size) * batch_size
+    arr = np.zeros((pad_n, 4), np.float32)
+    arr[: len(boxes)] = boxes
+    valid = np.zeros(pad_n, bool)
+    valid[: len(boxes)] = True
+    for s in range(0, pad_n, batch_size):
+        crops = crop_resize_batch(padded_dev, hw, jnp.asarray(arr[s : s + batch_size]),
+                                  crop_size)
+        out.extend(caption_model_processor.caption_crops(crops, valid[s : s + batch_size]))
+    return out
+
+
 def get_yolo_model(model_path: Optional[str] = None, variant: str = "n"):
     """Reference: ultralytics YOLO(model_path) (util/utils.py:71-75).
     Returns (Detector, params) — pass as `model=` to get_som_labeled_img."""

@@ -99,6 +99,12 @@ class PipelineConfig:
     # batching across screenshots (the TPU scaling axis; reference has none)
     max_batch_size: int = 8
 
+    # optional cap on the SOM overlay canvas (longest side, pixels): the
+    # overlay is drawn on a downscaled copy and the base64 response shrinks
+    # accordingly.  None = draw at native resolution (reference parity).
+    # cv2 drawing + PNG encode of 4K frames costs 0.1-0.4 s/request.
+    max_som_side: Optional[int] = None
+
     # optional host downscale cap before upload (longest side, pixels).
     # None = full resolution (reference parity).  Useful when host<->device
     # bandwidth is the bottleneck (e.g. tunneled TPUs): a 3240px screenshot

@@ -455,7 +455,18 @@ class SOMPipeline:
             ],
             axis=1,
         )
-        ratio = max(h, w) / cfg.som_base_resolution  # util/omniparser.py:21-27
+        canvas = image_rgb
+        if cfg.max_som_side and max(h, w) > cfg.max_som_side:
+            # serving knob: draw on a downscaled copy (cv2 drawing + PNG
+            # encode of 4K frames costs 0.1-0.4 s); coordinates stay in the
+            # original frame below, so only overlay pixels are affected
+            import cv2
+
+            s = cfg.max_som_side / max(h, w)
+            canvas = cv2.resize(image_rgb, (int(w * s), int(h * s)),
+                                interpolation=cv2.INTER_AREA)
+        ch_, cw_ = canvas.shape[:2]
+        ratio = max(ch_, cw_) / cfg.som_base_resolution  # util/omniparser.py:21-27
         style = {
             "text_scale": cfg.som_text_scale * ratio,
             "text_thickness": max(int(cfg.som_text_thickness * ratio), 1),
@@ -464,7 +475,15 @@ class SOMPipeline:
         }
         if ctx.get("som_style"):
             style.update(ctx["som_style"])
-        annotated, label_coordinates = annotate(image_rgb, cxcywh, **style)
+        annotated, _ = annotate(canvas, cxcywh, **style)
+        # label_coordinates always refer to the ORIGINAL frame (xywh px),
+        # independent of the drawing canvas (util/utils.py:353)
+        label_coordinates = {
+            str(i): [float(cxcywh[i, 0] - cxcywh[i, 2] / 2) * w,
+                     float(cxcywh[i, 1] - cxcywh[i, 3] / 2) * h,
+                     float(cxcywh[i, 2]) * w, float(cxcywh[i, 3]) * h]
+            for i in range(len(cxcywh))
+        }
         if cfg.output_coord_in_ratio:
             label_coordinates = {
                 k: [v[0] / w, v[1] / h, v[2] / w, v[3] / h]

@@ -115,3 +115,21 @@ def test_threshold_sweep_reuses_pipeline(rng):
                                    iou_threshold=0.5 + thr)
     # one entry for this (cfg, models) combination regardless of thresholds
     assert len(compat._PIPELINE_CACHE) == 1
+
+
+def test_get_parsed_content_icon_compat(rng):
+    """Reference signature (util/utils.py:78-122) over the TPU captioner."""
+    from omniparser_tpu.compat import get_parsed_content_icon
+
+    class StubCaptioner:
+        def caption_crops(self, crops, valid):
+            return [f"cap{i}" for i in range(int(valid.sum()))]
+
+    img = rng.integers(0, 255, (100, 120, 3), dtype=np.uint8)
+    boxes = np.array([[0.1, 0.1, 0.3, 0.3], [0.4, 0.4, 0.6, 0.6],
+                      [0.7, 0.7, 0.9, 0.9]], np.float32)
+    caps = get_parsed_content_icon(boxes, starting_idx=1, image_source=img,
+                                   caption_model_processor=StubCaptioner(),
+                                   batch_size=2)
+    assert caps == ["cap0", "cap1"]  # 2 boxes after starting_idx, one batch of 2
+    assert get_parsed_content_icon(boxes[:0], 0, img, StubCaptioner()) == []

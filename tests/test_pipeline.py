@@ -133,3 +133,21 @@ def test_annotate_label_positions(rng):
     # xywh pixel coords
     x, y, w, h = coords["0"]
     assert w == pytest.approx(0.2 * 200, abs=1) and h == pytest.approx(0.2 * 200, abs=1)
+
+
+def test_max_som_side_downscales_overlay_only(rng):
+    cfg = PipelineConfig(
+        detector=DetectorConfig(default_imgsz=160, max_detections=16),
+        captioner=CaptionerConfig(backend="null"),
+        ocr=OcrConfig(backend="null"),
+        max_som_side=100,
+        output_coord_in_ratio=False,
+    )
+    p = SOMPipeline(cfg)
+    img = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    annotated, coords, elements = p.parse_image(img)
+    assert max(annotated.shape[:2]) == 100  # overlay downscaled
+    # coordinates stay in the ORIGINAL pixel frame
+    for v in coords.values():
+        x, y, w, h = v
+        assert 0 <= x <= 300 and 0 <= y <= 200
