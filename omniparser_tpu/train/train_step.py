@@ -37,25 +37,65 @@ def make_train_state(
     florence_dims: FlorenceDims | None = None,
     learning_rate: float = 1e-4,
     rng: jax.Array | None = None,
+    fast_init: bool = False,
 ) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(rng)
     detector = Detector(variant="n", num_classes=1, imgsz=imgsz)
-    det_vars = detector.init_params(k1)
     dims = florence_dims or FlorenceDims(
         embed_dims=(8, 16, 32, 64), num_heads=(1, 2, 4, 8), num_groups=(1, 2, 4, 8),
         depths=(1, 1, 1, 1), window_size=4, d_model=32, encoder_layers=2,
         decoder_layers=2, attn_heads=4, ffn_dim=64, vocab_size=128, max_positions=64,
     )
     florence = Florence2(dims=dims)
-    cap_vars = florence.init(
-        k2, jnp.zeros((1, 32, 32, 3), jnp.float32), jnp.zeros((1, 4), jnp.int32),
-        jnp.zeros((1, 3), jnp.int32),
-    )
+    if fast_init:
+        # Skip the init-graph compiles entirely: size the param trees with
+        # eval_shape and fill them host-side.  Values only need to keep the
+        # first loss finite (dryrun/compile-check use), not train well.
+        det_vars = _materialize_shapes(
+            jax.eval_shape(
+                lambda r: detector.module.init(r, jnp.zeros((1, 64, 64, 3)), train=False),
+                k1,
+            )
+        )
+        cap_vars = _materialize_shapes(
+            jax.eval_shape(
+                lambda r: florence.init(
+                    r, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 4), jnp.int32),
+                    jnp.zeros((1, 3), jnp.int32),
+                ),
+                k2,
+            )
+        )
+    else:
+        det_vars = detector.init_params(k1)
+        cap_vars = florence.init(
+            k2, jnp.zeros((1, 32, 32, 3), jnp.float32), jnp.zeros((1, 4), jnp.int32),
+            jnp.zeros((1, 3), jnp.int32),
+        )
     params = {"det": det_vars, "cap": cap_vars}
     tx = optax.adamw(learning_rate)
     trainable = _trainable(params)
     return TrainState(detector, florence, params, tx.init(trainable), tx, imgsz)
+
+
+def _materialize_shapes(shape_tree):
+    """Host-side fill of an eval_shape tree: ones for norm scales/variances
+    (keeps normalization well-conditioned), zeros for ints, small normals
+    elsewhere.  No XLA compile involved."""
+    import numpy as np
+
+    host_rng = np.random.default_rng(0)
+
+    def fill(path, sd):
+        name = str(path[-1])
+        if not jnp.issubdtype(sd.dtype, jnp.floating):
+            return jnp.zeros(sd.shape, sd.dtype)
+        if "var" in name or "scale" in name:
+            return jnp.ones(sd.shape, sd.dtype)
+        return jnp.asarray(host_rng.normal(0.0, 0.02, sd.shape), sd.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shape_tree)
 
 
 def _trainable(params):
