@@ -3,33 +3,50 @@
 Metric: screenshots/sec/chip for the full parse pipeline — letterbox +
 YOLOv8-n detect + on-device NMS + JAX OCR (det+rec) + overlap merge +
 Florence-2-base caption decode + SOM overlay + PNG encode — on the
-reference's demo screenshot (random-init weights: compute is identical to
-the weighted model; only the *values* differ).
+reference's demo screenshots.  OCR runs the trained synthetic-GUI-text
+checkpoint when present (omniparser_tpu/weights/ocr_en_synth); detector/
+captioner are random-init (identical compute to the weighted models).
 
-Baseline: the reference publishes no in-repo throughput number (SURVEY.md
-§6); the published OmniParser V2 figure is ~0.6 s/frame on A100
-(https://huggingface.co/blog + README.md:20 claims "60% faster than V1").
-vs_baseline therefore uses 1/0.6 = 1.667 screenshots/sec as the A100
-reference point — documented assumption, revisit when real weights land.
+Baselines:
+  * vs_baseline uses 1/0.6 = 1.667 screenshots/sec as the A100 reference
+    point.  SOFT NUMBER: the reference publishes no in-repo throughput
+    (SURVEY.md §6); 0.6 s/frame comes from the public OmniParser V2 blog
+    figure.  It could not be measured locally (ultralytics/easyocr are not
+    installed here).
+  * mfu is self-contained and assumption-free: XLA cost-analysis FLOPs of
+    the compiled device graphs / (p50 wall x chip peak).  On a tunneled
+    TPU wall-clock is dominated by transfer weather (PERF.md); mfu and
+    device_time_share say how fast the device path itself is.
 
 Prints exactly ONE JSON line on stdout.
 """
 
+import dataclasses
 import json
-import sys
+import os
 import time
 
 import numpy as np
 
 BASELINE_SHOTS_PER_SEC = 1.0 / 0.6  # A100 V2 reference point (see docstring)
 
+# bf16 peak FLOPs/s per chip by device kind (jax.devices()[0].device_kind)
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
+
 
 def main():
-    import os
-
     from omniparser_tpu.config import PipelineConfig
     from omniparser_tpu.pipeline import SOMPipeline
+    from omniparser_tpu.utils.cache import enable_compilation_cache
     from omniparser_tpu.utils.image import load_image_rgb
+
+    enable_compilation_cache()  # repeat runs warm-start the 2-4 min compile
 
     names = ["demo_image.jpg", "google_page.png", "windows_home.png", "mobile.png",
              "ios.png", "word.png", "excel.png", "onenote.png"]
@@ -41,11 +58,19 @@ def main():
 
     # Serving configuration: max_upload_side=2048 caps the host->device
     # transfer (the dominant cost on this tunneled TPU; bandwidth swings
-    # 85-220 MB/s).  Detection runs at <=1280px regardless; element counts
-    # on the reference images match the full-res path to within 1-2.
-    import dataclasses
-
-    pipeline = SOMPipeline(dataclasses.replace(PipelineConfig(), max_upload_side=2048))
+    # 85-220 MB/s); max_som_side=1920 caps overlay drawing + PNG encode
+    # (0.1-0.4 s at 4K).  Detection runs at <=1280px regardless; element
+    # counts on the reference images match the full-res path to within 1-2.
+    cfg = dataclasses.replace(
+        PipelineConfig(), max_upload_side=2048, max_som_side=1920,
+    )
+    ocr_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "omniparser_tpu", "weights", "ocr_en_synth",
+    )
+    if os.path.isdir(ocr_ckpt):
+        cfg = dataclasses.replace(cfg, ocr_weights=ocr_ckpt)
+    pipeline = SOMPipeline(cfg)
     pipeline.parse_batch(imgs)  # warmup: compile every bucket's graphs
 
     # single-screenshot latency (serving p50)
@@ -57,16 +82,24 @@ def main():
     p50 = float(np.median(lat))
 
     # pipelined batched throughput (the serving configuration; BASELINE
-    # config 4 "multi-screenshot batched parse").  The TPU in this
-    # environment sits behind a tunnel whose bandwidth fluctuates by >5x
-    # minute to minute; report the median round so one congested transfer
-    # window doesn't dominate the number.
+    # config 4 "multi-screenshot batched parse").  Median of 5 rounds damps
+    # (not eliminates) tunnel-bandwidth variance.
     round_times = []
     for _ in range(5):
         t0 = time.perf_counter()
         pipeline.parse_batch(imgs)
         round_times.append(time.perf_counter() - t0)
     shots_per_sec = len(imgs) / float(np.median(round_times))
+
+    # MFU: XLA cost-model FLOPs of the device graphs for the p50 image
+    import jax
+
+    flops = pipeline.flops_per_parse(imgs[0])
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, 100e12)
+    mfu = flops["total"] / (p50 * peak) if flops["total"] else 0.0
+    timings = pipeline.last_timings
+    device_share = timings.get("device_step", 0.0) / max(sum(timings.values()), 1e-9)
+
     print(
         json.dumps(
             {
@@ -74,8 +107,14 @@ def main():
                 "value": round(shots_per_sec, 4),
                 "unit": "screenshots/sec",
                 "vs_baseline": round(shots_per_sec / BASELINE_SHOTS_PER_SEC, 4),
+                "baseline_note": "assumed 0.6 s/frame A100 (public V2 figure); "
+                                 "not measurable in-image — see PERF.md",
                 "p50_latency_s": round(p50, 4),
-                "stage_timings_s": {k: round(v, 4) for k, v in pipeline.last_timings.items()},
+                "mfu": round(mfu, 6),
+                "device_flops_per_parse": flops["total"],
+                "device_time_share": round(device_share, 4),
+                "ocr_weights": bool(cfg.ocr_weights),
+                "stage_timings_s": {k: round(v, 4) for k, v in timings.items()},
             }
         )
     )

@@ -128,7 +128,12 @@ class ComputerTool:
             if text is None:
                 raise ToolError(f"text is required for {action}")
             if action == "key":
-                keys = "', '".join(text.split("+"))
+                # escape like the 'type' branch: LLM-chosen key names must
+                # not break out of the quoted pyautogui one-liner
+                keys = "', '".join(
+                    k.replace("\\", "\\\\").replace("'", "\\'")
+                    for k in text.split("+")
+                )
                 self._do(f"import pyautogui; pyautogui.hotkey('{keys}')")
             else:
                 safe = text.replace("\\", "\\\\").replace("'", "\\'")

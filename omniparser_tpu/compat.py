@@ -43,12 +43,23 @@ def get_xywh_yolo(input) -> Tuple[int, int, int, int]:
 def predict_yolo(model: Tuple, image, box_threshold: float, imgsz=None,
                  scale_img: bool = False, iou_threshold: float = 0.7):
     """Reference signature (util/utils.py:378-399): returns (boxes xyxy in
-    pixels, confidences, phrases) for one image."""
+    pixels, confidences, phrases) for one image.
+
+    imgsz is honored whenever given (snapped to a static letterbox bucket,
+    compiled once per bucket) — a superset of the reference, where
+    util/utils.py:382 only forwards imgsz when scale_img=True but the demo
+    slider (gradio_demo.py:68-76) passes imgsz expecting it to matter.
+    scale_img itself needs no separate action: we always letterbox."""
+    import dataclasses
+
     import jax.numpy as jnp
 
+    from omniparser_tpu.models.yolov8 import snap_imgsz
     from omniparser_tpu.ops.preprocess import pad_to_bucket, pick_bucket_2d
 
     detector, params = model
+    if imgsz is not None:
+        detector = dataclasses.replace(detector, imgsz=snap_imgsz(imgsz))
     img = image
     if hasattr(img, "convert"):
         img = np.asarray(img.convert("RGB"))
@@ -224,11 +235,19 @@ def get_som_labeled_img(
         image_rgb = np.asarray(img)
 
     # thresholds stay OUT of the config/cache key: parse_image takes them as
-    # traced per-call values, so sweeping them reuses one compiled graph
+    # traced per-call values, so sweeping them reuses one compiled graph.
+    # imgsz IS in the key (it changes the compiled letterbox bucket —
+    # reference demo slider, gradio_demo.py:68-76).
+    from omniparser_tpu.models.yolov8 import snap_imgsz
+
     base = PipelineConfig()
     use_cap = bool(use_local_semantics and caption_model_processor)
+    det_cfg = base.detector
+    if imgsz is not None:
+        det_cfg = dataclasses.replace(det_cfg, default_imgsz=snap_imgsz(imgsz))
     cfg = dataclasses.replace(
         base,
+        detector=det_cfg,
         use_local_semantics=use_local_semantics,
         output_coord_in_ratio=output_coord_in_ratio,
         captioner=dataclasses.replace(
@@ -241,19 +260,27 @@ def get_som_labeled_img(
     detector = detector_params = None
     if model is not None:
         detector, detector_params = model
+        if imgsz is not None:
+            detector = dataclasses.replace(detector, imgsz=snap_imgsz(imgsz))
 
     class _ProvidedOCR:
         def recognize(self, image_rgb, padded_dev=None, orig_hw=None):
             return list(ocr_text), [list(b) for b in (ocr_bbox or [])]
 
     som_style = dict(draw_bbox_config) if draw_bbox_config else {
+        # reference annotate() fixed defaults (util/utils.py:326-331):
+        # thickness=3, text_thickness=2 — NOT the ratio-scaled server style
         "text_scale": text_scale, "text_padding": text_padding,
+        "text_thickness": 2, "thickness": 3,
     }
 
     # jit caches live on the pipeline instance: reuse one per
     # (config, models).  The lock serializes the per-call mutable state
     # (ocr closure, params) — concurrent callers get consistent parses.
-    key = (cfg, id(detector), id(caption_model_processor))
+    # key by the CALLER's objects (cfg carries imgsz): the dataclasses.replace
+    # above makes a fresh Detector per call, which must not defeat the cache
+    key = (cfg, id(model[0]) if model is not None else None,
+           id(caption_model_processor))
     with _compat_lock:
         pipeline = _PIPELINE_CACHE.get(key)
         if pipeline is None:

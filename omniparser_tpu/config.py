@@ -27,7 +27,9 @@ class DetectorConfig:
     num_classes: int = 1
     # static letterbox buckets (longest side); input is letterboxed to
     # (bucket, bucket).  Multiple buckets => multiple compiled graphs.
-    imgsz_buckets: Tuple[int, ...] = (640, 1280, 1920)
+    # Range mirrors the reference demo's imgsz slider 640-1920
+    # (gradio_demo.py:68-76); runtime imgsz snaps to the nearest bucket.
+    imgsz_buckets: Tuple[int, ...] = (640, 960, 1280, 1920)
     default_imgsz: int = 1280
     box_threshold: float = 0.05  # reference BOX_TRESHOLD (server default)
     nms_iou_threshold: float = 0.1  # reference get_som_labeled_img iou_threshold=0.1

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from omniparser_tpu.config import OcrConfig
-from omniparser_tpu.ops.preprocess import crop_resize_batch, letterbox
+from omniparser_tpu.ops.preprocess import crop_lines_batch, letterbox
 
 # charset: CTC blank at index 0
 CHARSET = (
@@ -174,6 +174,102 @@ def ctc_greedy_decode(logits: np.ndarray) -> Tuple[str, float]:
     return "".join(chars), float(np.mean(confs))
 
 
+def ctc_beam_decode(logits: np.ndarray, beam_width: int = 10) -> Tuple[str, float]:
+    """CTC prefix beam search (host): the jax-backend analogue of easyocr's
+    `decoder='beamsearch', beamWidth=N` args, which the reference eval path
+    requests (eval/ss_pro_gpt4o_omniv2.py:37-51).  Returns (text, conf)
+    where conf is the greedy mean-char-prob (the same quantity the
+    text_threshold gate is calibrated on)."""
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    T, C = probs.shape
+    # prune per step to the top-k symbols — beam search cost is T*k*beam
+    k = min(beam_width, C)
+    NEG = -1e30
+
+    def logaddexp(a, b):
+        if a < b:
+            a, b = b, a
+        if b <= NEG / 2:
+            return a
+        return a + np.log1p(np.exp(b - a))
+
+    logp = np.log(np.maximum(probs, 1e-12))
+    # beams: prefix tuple -> [log p ending in blank, log p ending in non-blank]
+    beams = {(): (0.0, NEG)}
+    for t in range(T):
+        top = np.argpartition(-logp[t], k - 1)[:k]
+        nxt = {}
+        for prefix, (pb, pnb) in beams.items():
+            for c in top:
+                lp = logp[t, c]
+                if c == 0:  # blank extends both endings, prefix unchanged
+                    b, nb = nxt.get(prefix, (NEG, NEG))
+                    nxt[prefix] = (logaddexp(b, logaddexp(pb, pnb) + lp), nb)
+                    continue
+                new_prefix = prefix + (int(c),)
+                if prefix and prefix[-1] == c:
+                    # repeat char: extend-from-blank makes a new char,
+                    # extend-from-non-blank collapses into the same prefix
+                    b, nb = nxt.get(new_prefix, (NEG, NEG))
+                    nxt[new_prefix] = (b, logaddexp(nb, pb + lp))
+                    b, nb = nxt.get(prefix, (NEG, NEG))
+                    nxt[prefix] = (b, logaddexp(nb, pnb + lp))
+                else:
+                    b, nb = nxt.get(new_prefix, (NEG, NEG))
+                    nxt[new_prefix] = (b, logaddexp(nb, logaddexp(pb, pnb) + lp))
+        beams = dict(
+            sorted(nxt.items(), key=lambda kv: -logaddexp(*kv[1]))[:beam_width]
+        )
+    best = max(beams.items(), key=lambda kv: logaddexp(*kv[1]))[0]
+    _, conf = ctc_greedy_decode(logits)
+    return "".join(CHARSET[i - 1] for i in best), conf
+
+
+def merge_paragraphs(
+    texts: List[str], boxes: List[List[int]], y_gap: float = 0.7, x_gap: float = 1.5
+) -> Tuple[List[str], List[List[int]]]:
+    """easyocr `paragraph=True` semantics for the jax backend: greedily
+    union line boxes whose gaps are within (x_gap, y_gap) x line-height,
+    then join each group's texts in reading order (top-to-bottom,
+    left-to-right) under the union bbox."""
+    n = len(boxes)
+    if n == 0:
+        return texts, boxes
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        x1i, y1i, x2i, y2i = boxes[i]
+        hi = max(y2i - y1i, 1)
+        for j in range(i + 1, n):
+            x1j, y1j, x2j, y2j = boxes[j]
+            hj = max(y2j - y1j, 1)
+            h = min(hi, hj)
+            dx = max(x1i, x1j) - min(x2i, x2j)  # negative when overlapping
+            dy = max(y1i, y1j) - min(y2i, y2j)
+            if dx < x_gap * h and dy < y_gap * h:
+                parent[find(i)] = find(j)
+    groups: dict = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    out_texts, out_boxes = [], []
+    for members in groups.values():
+        members.sort(key=lambda i: (boxes[i][1], boxes[i][0]))
+        out_texts.append(" ".join(texts[i] for i in members))
+        out_boxes.append([
+            min(boxes[i][0] for i in members), min(boxes[i][1] for i in members),
+            max(boxes[i][2] for i in members), max(boxes[i][3] for i in members),
+        ])
+    order = sorted(range(len(out_boxes)), key=lambda g: (out_boxes[g][1], out_boxes[g][0]))
+    return [out_texts[g] for g in order], [out_boxes[g] for g in order]
+
+
 def extract_text_boxes(
     prob_map: np.ndarray,
     bin_threshold: float = 0.3,
@@ -264,7 +360,13 @@ class JaxOCR:
         prob, r, pads = self.dispatch_det(padded_dev, orig_hw)
         return self.candidates_from_prob(prob, r, pads, h, w)
 
-    def recognize(self, image_rgb, padded_dev=None, orig_hw=None):
+    def recognize(self, image_rgb, padded_dev=None, orig_hw=None, *,
+                  decoder: str = "greedy", beam_width: int = 10,
+                  paragraph: bool = False):
+        """(texts, boxes).  decoder/beam_width/paragraph mirror easyocr's
+        readtext args as used by the reference eval config
+        (eval/ss_pro_gpt4o_omniv2.py:37-51); `batch_size` has no analogue —
+        all lines are recognized in one device batch already."""
         cfg = self.config
         h, w = image_rgb.shape[:2]
         if padded_dev is None:
@@ -287,15 +389,21 @@ class JaxOCR:
         pad_n = -(-n // 32) * 32
         norm_p = np.zeros((pad_n, 4), np.float32)
         norm_p[:n] = norm
-        crops = crop_resize_batch(
+        crops = crop_lines_batch(
             padded_dev, orig_hw, jnp.asarray(norm_p), (cfg.rec_height, cfg.rec_max_width)
         )
         logits = np.asarray(self._rec_fn(self.rec_params, crops / 255.0))
 
         texts, out_boxes = [], []
+        decode = (
+            (lambda lg: ctc_beam_decode(lg, beam_width))
+            if decoder == "beamsearch" else ctc_greedy_decode
+        )
         for i in range(n):
-            text, conf = ctc_greedy_decode(logits[i])
+            text, conf = decode(logits[i])
             if text and conf > cfg.text_threshold:
                 texts.append(text)
                 out_boxes.append(boxes_px[i])
+        if paragraph:
+            texts, out_boxes = merge_paragraphs(texts, out_boxes)
         return texts, out_boxes

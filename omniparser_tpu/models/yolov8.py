@@ -235,6 +235,18 @@ def decode_predictions(level_outputs):
     return jnp.concatenate(boxes_all, axis=1), jnp.concatenate(scores_all, axis=1)
 
 
+def snap_imgsz(imgsz, buckets=(640, 960, 1280, 1920)) -> int:
+    """Runtime imgsz (reference demo slider 640-1920, gradio_demo.py:68-76)
+    -> the smallest static letterbox bucket that covers it.  Static buckets
+    keep the jitted detect graph fixed-shape; one compile per bucket."""
+    if isinstance(imgsz, (list, tuple)):
+        imgsz = max(imgsz)
+    for b in sorted(buckets):
+        if imgsz <= b:
+            return b
+    return max(buckets)
+
+
 @dataclasses.dataclass(frozen=True)
 class Detector:
     """Jitted end-to-end detect: bucket-padded uint8 -> normalized boxes.
@@ -271,10 +283,13 @@ class Detector:
         conf_threshold,
         nms_iou,
         allow_pallas: bool = True,  # False under vmap (Mosaic doesn't batch)
+        with_stats: bool = False,
     ):
         """Single-image detect (traceable; composes into larger fused
         graphs).  Returns (boxes_norm [max_det,4] xyxy in [0,1],
-        scores [max_det], valid [max_det])."""
+        scores [max_det], valid [max_det]); with_stats=True appends the
+        prefilter overflow count (candidates above threshold beyond the
+        static top-k — no-silent-caps convention)."""
         img, r, pad = letterbox(padded_u8, orig_hw, self.imgsz)
         level_outputs = self.module.apply(variables, img[None], train=False)
         boxes, scores = decode_predictions(level_outputs)
@@ -296,4 +311,7 @@ class Detector:
         # letterboxed pixels -> original pixels -> normalized
         nb = boxes_letterboxed_to_image(nb, r, pad, orig_hw)
         wh = jnp.stack([orig_hw[1], orig_hw[0], orig_hw[1], orig_hw[0]]).astype(jnp.float32)
+        if with_stats:
+            overflow = jnp.maximum(keep.sum() - k, 0)
+            return nb / wh, ns, nv, overflow
         return nb / wh, ns, nv

@@ -110,17 +110,28 @@ def check_ocr_box(
             img = np.asarray(img.convert("RGB"))
         image_rgb = np.asarray(img)
 
+    args = dict(easyocr_args or {})
     if backend is None:
         cfg = OcrConfig(
             backend="paddle" if use_paddleocr else "jax",
-            text_threshold=(easyocr_args or {}).get("text_threshold", 0.5 if use_paddleocr else 0.8),
+            text_threshold=args.get("text_threshold", 0.5 if use_paddleocr else 0.8),
         )
         try:
             backend = make_ocr_backend(cfg)
         except ImportError:
             backend = make_ocr_backend(OcrConfig(backend="jax"))
 
-    texts, boxes_xyxy = backend.recognize(image_rgb)
+    # easyocr_args beyond text_threshold (the reference eval passes
+    # paragraph/decoder/beamWidth/batch_size — eval/ss_pro_gpt4o_omniv2.py:41):
+    # honored by the jax backend; batch_size is a no-op (single device batch).
+    kwargs = {}
+    if hasattr(backend, "det_params"):  # JaxOCR
+        kwargs = dict(
+            decoder=args.get("decoder", "greedy"),
+            beam_width=args.get("beamWidth", 10),
+            paragraph=args.get("paragraph", False),
+        )
+    texts, boxes_xyxy = backend.recognize(image_rgb, **kwargs)
     if output_bb_format == "xywh":
         bb = [[x1, y1, x2 - x1, y2 - y1] for x1, y1, x2, y2 in boxes_xyxy]
     else:

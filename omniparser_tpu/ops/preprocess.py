@@ -156,19 +156,69 @@ def crop_resize_batch(
         # also clamp into the valid (unpadded) image region
         xs = jnp.clip(xs, 0.0, w - 1.0)
         ys = jnp.clip(ys, 0.0, h - 1.0)
+        return _bilinear_gather(img, xs, ys, img_h, img_w)
 
-        x0 = jnp.floor(xs)
-        y0 = jnp.floor(ys)
-        fx = (xs - x0)[None, :, None]
-        fy = (ys - y0)[:, None, None]
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, img_w - 1)
-        x1i = jnp.clip(x0i + 1, 0, img_w - 1)
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, img_h - 1)
-        y1i = jnp.clip(y0i + 1, 0, img_h - 1)
+    return jax.vmap(one)(boxes_norm)
 
-        # 4-neighbor gather: rows then columns keeps gathers small & fusable
-        top = img[y0i][:, x0i] * (1 - fx) + img[y0i][:, x1i] * fx
-        bot = img[y1i][:, x0i] * (1 - fx) + img[y1i][:, x1i] * fx
-        return top * (1 - fy) + bot * fy
+
+def _bilinear_gather(img, xs, ys, img_h, img_w):
+    """Sample img at the outer product of ys[rows] x xs[cols], bilinear."""
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[None, :, None]
+    fy = (ys - y0)[:, None, None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, img_w - 1)
+    x1i = jnp.clip(x0i + 1, 0, img_w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, img_h - 1)
+    y1i = jnp.clip(y0i + 1, 0, img_h - 1)
+
+    # 4-neighbor gather: rows then columns keeps gathers small & fusable
+    top = img[y0i][:, x0i] * (1 - fx) + img[y0i][:, x1i] * fx
+    bot = img[y1i][:, x0i] * (1 - fx) + img[y1i][:, x1i] * fx
+    return top * (1 - fy) + bot * fy
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def crop_lines_batch(
+    padded_u8: jnp.ndarray,
+    orig_hw: jnp.ndarray,
+    boxes_norm: jnp.ndarray,
+    out_hw: Tuple[int, int] = (32, 320),
+):
+    """Gather N text-line boxes into N [out_h,out_w,3] crops, preserving
+    aspect ratio (unlike crop_resize_batch's anisotropic stretch).
+
+    OCR-specific sampling: one isotropic scale s = max(ch/out_h, cw/out_w)
+    so glyphs are never stretched; the line is top-left anchored
+    horizontally (text reads left to right), vertically centred, and
+    out-of-crop samples clamp to the crop edge (background replicate —
+    CTC-friendly trailing padding).  The recognizer is trained through
+    THIS function (train/synth_text.py), so train and inference see
+    identical geometry.  Replaces the easyocr/paddle host line pipeline
+    (reference util/utils.py:504-540 feeds full-resolution sub-images).
+    """
+    out_h, out_w = out_hw
+    h = orig_hw[0].astype(jnp.float32)
+    w = orig_hw[1].astype(jnp.float32)
+    img = padded_u8.astype(jnp.float32)
+    img_h, img_w = padded_u8.shape[0], padded_u8.shape[1]
+
+    def one(box):
+        x1 = jnp.trunc(box[0] * w)
+        y1 = jnp.trunc(box[1] * h)
+        x2 = jnp.trunc(box[2] * w)
+        y2 = jnp.trunc(box[3] * h)
+        cw = jnp.maximum(x2 - x1, 1.0)
+        ch = jnp.maximum(y2 - y1, 1.0)
+        s = jnp.maximum(ch / out_h, cw / out_w)
+        # vertical: centre the ch/s used rows inside out_h
+        off_y = (out_h - ch / s) / 2.0
+        is_ = ((jnp.arange(out_h, dtype=jnp.float32) - off_y) + 0.5) * s - 0.5
+        js = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * s - 0.5
+        ys = y1 + jnp.clip(is_, 0.0, jnp.maximum(ch - 1.0, 0.0))
+        xs = x1 + jnp.clip(js, 0.0, jnp.maximum(cw - 1.0, 0.0))
+        xs = jnp.clip(xs, 0.0, w - 1.0)
+        ys = jnp.clip(ys, 0.0, h - 1.0)
+        return _bilinear_gather(img, xs, ys, img_h, img_w)
 
     return jax.vmap(one)(boxes_norm)

@@ -38,7 +38,12 @@ from omniparser_tpu.config import PipelineConfig
 from omniparser_tpu.models.yolov8 import Detector
 from omniparser_tpu.ops.boxes import int_box_area
 from omniparser_tpu.ops.overlap import merge_icons_and_ocr
-from omniparser_tpu.ops.preprocess import crop_resize_batch, pad_to_bucket, pick_bucket_2d
+from omniparser_tpu.ops.preprocess import (
+    crop_lines_batch,
+    crop_resize_batch,
+    pad_to_bucket,
+    pick_bucket_2d,
+)
 from omniparser_tpu.utils.image import decode_base64_image, encode_image_base64
 
 
@@ -108,13 +113,13 @@ class FusedParseStep:
             # max_upload_side shrank the upload
             h = true_hw[0]
             w = true_hw[1]
-            det_boxes, det_scores, det_valid = detector.detect_graph(
-                det_vars, padded, hw, conf_thr, nms_iou
+            det_boxes, det_scores, det_valid, det_overflow = detector.detect_graph(
+                det_vars, padded, hw, conf_thr, nms_iou, with_stats=True
             )
             det_valid = det_valid & (int_box_area(det_boxes, w, h) > 0)
 
             if do_rec:
-                line_crops = crop_resize_batch(padded, hw, ocr_boxes_norm, rec_hw)
+                line_crops = crop_lines_batch(padded, hw, ocr_boxes_norm, rec_hw)
                 from omniparser_tpu.models.ocr import ctc_device_stats
 
                 logits = rec.apply(rec_vars, line_crops / 255.0, train=False)
@@ -133,6 +138,7 @@ class FusedParseStep:
             out = {
                 "det_boxes": det_boxes,
                 "det_scores": det_scores,
+                "det_overflow": det_overflow,
                 "icon_keep": res.icon_keep,
                 "ocr_keep": res.ocr_keep,
                 "absorb": res.absorb,
@@ -379,6 +385,17 @@ class SOMPipeline:
         image_rgb = ctx["image"]
         h, w = ctx["h"], ctx["w"]
         out = ctx["out"]
+        if int(out.get("det_overflow", 0)) > 0:
+            # no-silent-caps: the static NMS prefilter (2*max_det) dropped
+            # above-threshold candidates; raise max_detections to match the
+            # reference's unbounded NMS on such screens
+            import warnings
+
+            warnings.warn(
+                f"detector prefilter overflow: {int(out['det_overflow'])} "
+                "above-threshold candidates beyond the top-k window "
+                "(raise DetectorConfig.max_detections)", RuntimeWarning,
+            )
         ocr_arr, n_ocr = ctx["ocr_arr"], ctx["n_ocr"]
         host_texts = ctx["host_texts"]
         padded_dev, orig_hw = ctx["padded_dev"], ctx["orig_hw"]
@@ -519,6 +536,34 @@ class SOMPipeline:
             lines.append(f"{kind} Box ID {i}: {e['content']}")
         return lines
 
+    def flops_per_parse(self, image_rgb: np.ndarray) -> Dict[str, float]:
+        """Analytic device FLOPs for this image's compiled graphs, from
+        XLA's cost model (AOT lower+compile, cached): the fused parse step
+        plus the OCR text-det dispatch.  Basis for the MFU figure in
+        bench.py — wall-clock on a tunneled TPU is weather, FLOPs are not."""
+        cfg = self.config
+        ctx = self._stage_upload(image_rgb)
+        self._stage_ocr(ctx)
+        cap_vars = self.fused.captioner.params if self.fused.captioner else 0
+        rec_vars = self._jax_ocr.rec_params if self._jax_ocr else 0
+        args = (
+            self.detector_params, rec_vars, cap_vars, ctx["padded_dev"],
+            ctx["orig_hw"], jnp.asarray([ctx["h"], ctx["w"]], jnp.int32),
+            jnp.asarray(ctx["ocr_arr"]), jnp.asarray(ctx["ocr_cand_valid"]),
+            jnp.float32(cfg.detector.box_threshold),
+            jnp.float32(cfg.detector.nms_iou_threshold),
+            jnp.float32(cfg.iou_threshold), jnp.float32(cfg.ocr.text_threshold),
+        )
+        out = {"fused": _cost_flops(self.fused._fn, *args)}
+        if self._jax_ocr is not None:
+            s = cfg.ocr.det_imgsz
+            out["ocr_det"] = _cost_flops(
+                self._jax_ocr._det_fn, self._jax_ocr.det_params,
+                jnp.zeros((1, s, s, 3), jnp.float32),
+            )
+        out["total"] = float(sum(out.values()))
+        return out
+
     def warmup(self, shapes: Sequence[Tuple[int, int]] = ((1080, 1920), (2160, 3840)),
                ocr_buckets: Sequence[int] = (32, 64, 128, 256)) -> None:
         """Compile the device graphs for the common raw buckets AND every
@@ -540,6 +585,18 @@ class SOMPipeline:
                 )
                 self._stage_dispatch(wctx, None, None)
                 jax.device_get(wctx["out"])
+
+
+def _cost_flops(jitted, *args) -> float:
+    """XLA cost-analysis flops of a jitted fn at these args (0.0 when the
+    backend exposes no cost model)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 class Omniparser:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Callable, List, Sequence
 
@@ -56,10 +57,15 @@ class MicroBatcher:
         if first is None:
             return []
         batch = [first]
-        deadline = self._window_s
+        # absolute deadline from the first item: a steady trickle must not
+        # hold the batch open for up to max_batch * window
+        deadline = time.monotonic() + self._window_s
         while len(batch) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._queue.get(timeout=deadline)
+                nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:

@@ -166,9 +166,16 @@ def main(argv=None):
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--ocr_backend", default="jax")
+    ap.add_argument("--max_som_side", type=int, default=1920,
+                    help="SOM overlay canvas cap (0 = native resolution); "
+                    "drawing+PNG at 4K costs 0.1-0.4 s/request")
     args = ap.parse_args(argv)
 
     import dataclasses
+
+    from omniparser_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # warm restarts skip the 2-4 min first compile
 
     base = PipelineConfig()
     cfg = dataclasses.replace(
@@ -177,6 +184,7 @@ def main(argv=None):
         ocr=dataclasses.replace(base.ocr, backend=args.ocr_backend),
         detector_weights=args.som_model_path,
         captioner_weights=args.caption_model_path,
+        max_som_side=args.max_som_side or None,
     )
     server = OmniparserServer(cfg, ServerConfig(host=args.host, port=args.port))
     server.pipeline.warmup()

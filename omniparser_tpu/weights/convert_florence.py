@@ -192,4 +192,29 @@ def load_florence_params(path: str):
         import warnings
 
         warnings.warn(f"{len(unmatched)} unmatched florence keys, e.g. {unmatched[:5]}")
+    _validate_against_model(variables, BASE)
     return variables, BASE, path
+
+
+def _validate_against_model(variables, dims) -> None:
+    """eval_shape-check the converted tree against Florence2 init shapes so
+    missing/mis-shaped params fail HERE with their paths, not as opaque
+    flax apply errors inside the fused jit (load_detector_params does the
+    same via _check_tree_shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from omniparser_tpu.models.florence2 import Florence2
+    from omniparser_tpu.weights.convert_yolo import _check_tree_shapes
+
+    model = Florence2(dims=dims)
+    ref = jax.eval_shape(
+        lambda r: model.init(
+            r,
+            jnp.zeros((1, 64, 64, 3), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32),
+            jnp.zeros((1, 1), jnp.int32),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    _check_tree_shapes(ref, variables)
