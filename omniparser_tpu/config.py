@@ -70,11 +70,23 @@ class OcrConfig:
     """
 
     backend: str = "jax"
+    # model family for the jax backend:
+    #   'native'  — first-party TextDetector/TextRecognizer (models/ocr.py),
+    #               trained on synthetic GUI text (shipped checkpoint)
+    #   'easyocr' — CRAFT + VGG-BiLSTM-CTC (models/ocr_easy.py), the
+    #               reference's exact OCR stack; loads converted
+    #               craft_mlt_25k.pth / english_g2.pth (set rec_height=64)
+    arch: str = "native"
+    easyocr_craft_pth: Optional[str] = None
+    easyocr_rec_pth: Optional[str] = None
     text_threshold: float = 0.8  # server default (util/omniparser.py:29)
     max_text_boxes: int = 256
     det_imgsz: int = 960
     rec_height: int = 32
-    rec_max_width: int = 320
+    # 480 px = 15:1 aspect at height 32: full-sentence GUI lines keep ~8 px
+    # per char instead of compressing to mush at 320 (crop_lines_batch
+    # compresses lines longer than the aspect budget isotropically)
+    rec_max_width: int = 480
     dtype: str = "bfloat16"
 
 
@@ -114,10 +126,14 @@ class PipelineConfig:
     # only crop/OCR fidelity is affected.
     max_upload_side: Optional[int] = None
 
-    # weight sources (None => random init, for tests/benches)
+    # weight sources (None => random init, for tests/benches).
+    # ocr_weights='auto' loads the shipped synthetic-GUI-text OCR checkpoint
+    # when present (models/ocr.default_ocr_weights) — the reference loads
+    # pretrained OCR at import (util/utils.py:20-31); detector/captioner
+    # have no in-image pretrained source, so they stay None.
     detector_weights: Optional[str] = None
     captioner_weights: Optional[str] = None
-    ocr_weights: Optional[str] = None
+    ocr_weights: Optional[str] = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,9 +53,15 @@ class _ConvBlock(nn.Module):
 
 
 class TextDetector(nn.Module):
-    """DBNet-style segmentation net: [B,S,S,3] -> [B,S/4,S/4,1] prob map."""
+    """DBNet-style segmentation net: [B,S,S,3] -> [B,S/2,S/2,1] prob map.
+
+    The map is predicted at 1/2 scale (not DBNet's deep-supervised full
+    res): GUI text is 8-30 px tall, and a 1/4-scale map quantizes a 12 px
+    line to 3 cells — box IoU tops out ~0.4.  1/2 scale keeps the FPN cost
+    at 1/4 and pays one upsampled head conv."""
 
     width: int = 32
+    out_scale: int = 2  # map resolution = input / out_scale
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -81,6 +87,9 @@ class TextDetector(nn.Module):
         p2 = nn.Conv(w * 2, (1, 1), dtype=dt)(c2) + up_to(p3, c2)
         feat = jnp.concatenate([p2, up_to(p3, c2), up_to(p4, c2)], axis=-1)
         feat = _ConvBlock(w * 2, 1, dt)(feat, train)
+        # head at 1/2: upsample fused features, one refining conv
+        feat = up_to(feat, c1)
+        feat = _ConvBlock(w, 1, dt)(feat, train)
         logits = nn.Conv(1, (1, 1), dtype=jnp.float32)(feat)
         return jax.nn.sigmoid(logits)
 
@@ -146,17 +155,17 @@ def ctc_device_stats(logits: jnp.ndarray):
     return ids, conf, n_chars
 
 
-def ids_to_text(ids_row: np.ndarray) -> str:
+def ids_to_text(ids_row: np.ndarray, charset: str = CHARSET) -> str:
     """Host: collapse an argmax id row to its CTC string."""
     chars, prev = [], -1
     for i in ids_row:
         if i != prev and i != 0:
-            chars.append(CHARSET[i - 1])
+            chars.append(charset[i - 1])
         prev = i
     return "".join(chars)
 
 
-def ctc_greedy_decode(logits: np.ndarray) -> Tuple[str, float]:
+def ctc_greedy_decode(logits: np.ndarray, charset: str = CHARSET) -> Tuple[str, float]:
     """Greedy CTC: argmax per step, collapse repeats, drop blanks.
     Returns (text, mean char prob)."""
     probs = np.exp(logits - logits.max(-1, keepdims=True))
@@ -166,7 +175,7 @@ def ctc_greedy_decode(logits: np.ndarray) -> Tuple[str, float]:
     chars, confs, prev = [], [], -1
     for t, i in enumerate(ids):
         if i != prev and i != 0:
-            chars.append(CHARSET[i - 1])
+            chars.append(charset[i - 1])
             confs.append(conf[t])
         prev = i
     if not chars:
@@ -174,7 +183,8 @@ def ctc_greedy_decode(logits: np.ndarray) -> Tuple[str, float]:
     return "".join(chars), float(np.mean(confs))
 
 
-def ctc_beam_decode(logits: np.ndarray, beam_width: int = 10) -> Tuple[str, float]:
+def ctc_beam_decode(logits: np.ndarray, beam_width: int = 10,
+                    charset: str = CHARSET) -> Tuple[str, float]:
     """CTC prefix beam search (host): the jax-backend analogue of easyocr's
     `decoder='beamsearch', beamWidth=N` args, which the reference eval path
     requests (eval/ss_pro_gpt4o_omniv2.py:37-51).  Returns (text, conf)
@@ -222,8 +232,8 @@ def ctc_beam_decode(logits: np.ndarray, beam_width: int = 10) -> Tuple[str, floa
             sorted(nxt.items(), key=lambda kv: -logaddexp(*kv[1]))[:beam_width]
         )
     best = max(beams.items(), key=lambda kv: logaddexp(*kv[1]))[0]
-    _, conf = ctc_greedy_decode(logits)
-    return "".join(CHARSET[i - 1] for i in best), conf
+    _, conf = ctc_greedy_decode(logits, charset)
+    return "".join(charset[i - 1] for i in best), conf
 
 
 def merge_paragraphs(
@@ -274,12 +284,14 @@ def extract_text_boxes(
     prob_map: np.ndarray,
     bin_threshold: float = 0.3,
     min_score: float = 0.3,
-    unclip: float = 1.8,
+    unclip: float = 2.0,
     min_area: int = 4,
+    scale: int = 2,  # TextDetector.out_scale
 ) -> List[Tuple[List[int], float]]:
-    """Probability map (det scale) -> [(x1,y1,x2,y2 in map*4 px, score)].
+    """Probability map (det scale) -> [(x1,y1,x2,y2 in map*scale px, score)].
     DBNet-family postprocess: binarize, connected components (native C++
-    hostops when built, cv2 otherwise), expand."""
+    hostops when built, cv2 otherwise), expand.  The unclip margin inverts
+    the capped shrink used by train/synth_text.shrink_map."""
     from omniparser_tpu.utils.hostops import extract_components
 
     out = []
@@ -288,13 +300,28 @@ def extract_text_boxes(
     ):
         w, h = x2c - x1c, y2c - y1c
         # unclip: expand box by a perimeter-proportional margin
-        margin = int(round((unclip - 1.0) * min(w, h) / 2))
-        x1 = (x1c - margin) * 4
-        y1 = (y1c - margin) * 4
-        x2 = (x2c + margin) * 4
-        y2 = (y2c + margin) * 4
+        margin = (unclip - 1.0) * min(w, h) / 2
+        x1 = int(round((x1c - margin) * scale))
+        y1 = int(round((y1c - margin) * scale))
+        x2 = int(round((x2c + margin) * scale))
+        y2 = int(round((y2c + margin) * scale))
         out.append(([x1, y1, x2, y2], score))
     return out
+
+
+def default_ocr_weights(config: OcrConfig):
+    """The shipped synthetic-GUI-text checkpoint (trained by
+    train/train_ocr.py), when present and geometry-compatible.  The
+    reference likewise loads pretrained OCR at import (util/utils.py:20-31);
+    'auto' gives every entry point working text reading by default."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "weights", "ocr_en_synth")
+    if (os.path.isdir(path) and config.rec_height == 32
+            and config.rec_max_width == 480):
+        return os.path.abspath(path)
+    return None
 
 
 @dataclasses.dataclass
@@ -308,42 +335,104 @@ class JaxOCR:
     weights: Any = None  # orbax checkpoint dir {'det': vars, 'rec': vars}
 
     def __post_init__(self):
-        self.det = TextDetector()
-        self.rec = TextRecognizer()
-        if self.det_params is None:
-            k1, k2 = jax.random.split(jax.random.PRNGKey(42))
-            # det params are spatial-size independent -> init small & fast;
-            # rec has a width-dependent pos_embed -> init at real rec shape.
-            self.det_params = jax.jit(partial(self.det.init, train=False))(
-                k1, jnp.zeros((1, 64, 64, 3))
+        cfg = self.config
+        if cfg.arch == "easyocr":
+            # the reference's OCR stack (CRAFT + english_g2 VGG-BiLSTM-CTC,
+            # util/utils.py:20-22) as Flax modules; loads converted .pth
+            from omniparser_tpu.models.ocr_easy import (
+                EASYOCR_EN_CHARSET, Craft, VggCtcRecognizer,
             )
-            self.rec_params = jax.jit(partial(self.rec.init, train=False))(
-                k2, jnp.zeros((1, self.config.rec_height, self.config.rec_max_width, 3))
-            )
-            if self.weights:
-                # trained nets saved by weights/checkpoints.py (e.g. via the
-                # OCR fine-tune objectives in train/ocr_losses.py)
-                from omniparser_tpu.weights.checkpoints import load_checkpoint
 
-                like = {"det": jax.tree.map(np.asarray, self.det_params),
-                        "rec": jax.tree.map(np.asarray, self.rec_params)}
-                restored = load_checkpoint(self.weights, like=like)
-                self.det_params = restored["det"]
-                self.rec_params = restored["rec"]
+            self.det = Craft()
+            self.rec = VggCtcRecognizer()
+            self.charset = EASYOCR_EN_CHARSET
+            if self.det_params is None:
+                det_vars = rec_vars = None
+                if cfg.easyocr_craft_pth or cfg.easyocr_rec_pth:
+                    from omniparser_tpu.weights.convert_ocr import load_easyocr_weights
+
+                    det_vars, rec_vars = load_easyocr_weights(
+                        cfg.easyocr_craft_pth, cfg.easyocr_rec_pth
+                    )
+                k1, k2 = jax.random.split(jax.random.PRNGKey(42))
+                self.det_params = det_vars or jax.jit(
+                    partial(self.det.init, train=False)
+                )(k1, jnp.zeros((1, 64, 64, 3)))
+                self.rec_params = rec_vars or jax.jit(
+                    partial(self.rec.init, train=False)
+                )(k2, jnp.zeros((1, cfg.rec_height, 64, 1)))
+        else:
+            self.det = TextDetector()
+            self.rec = TextRecognizer()
+            self.charset = CHARSET
+            if self.det_params is None:
+                k1, k2 = jax.random.split(jax.random.PRNGKey(42))
+                # det params are spatial-size independent -> init small & fast;
+                # rec has a width-dependent pos_embed -> init at real rec shape.
+                self.det_params = jax.jit(partial(self.det.init, train=False))(
+                    k1, jnp.zeros((1, 64, 64, 3))
+                )
+                self.rec_params = jax.jit(partial(self.rec.init, train=False))(
+                    k2, jnp.zeros((1, cfg.rec_height, cfg.rec_max_width, 3))
+                )
+                if self.weights:
+                    # trained nets saved by weights/checkpoints.py (e.g. the
+                    # synthetic-GUI-text run in train/train_ocr.py)
+                    from omniparser_tpu.weights.checkpoints import load_checkpoint
+
+                    like = {"det": jax.tree.map(np.asarray, self.det_params),
+                            "rec": jax.tree.map(np.asarray, self.rec_params)}
+                    restored = load_checkpoint(self.weights, like=like)
+                    # orbax restores STORED shapes even when `like` differs
+                    # (e.g. a checkpoint trained at another rec_max_width) —
+                    # fail here with paths, not at apply-time inside the jit
+                    from omniparser_tpu.weights.convert_yolo import _check_tree_shapes
+
+                    _check_tree_shapes(like, restored)
+                    self.det_params = restored["det"]
+                    self.rec_params = restored["rec"]
         self._det_fn = jax.jit(partial(self.det.apply, train=False))
         self._rec_fn = jax.jit(partial(self.rec.apply, train=False))
+        # quantized prob-map download: [0,1] -> uint8 on device, 4x less
+        # tunnel traffic per map (bin/score thresholds are 0.3-coarse).
+        # channel 0 is the text/region probability for both arches (native
+        # is sigmoid; CRAFT region scores are [0,1] regression — clip).
+        self._det_q = jax.jit(
+            lambda p, x: (
+                jnp.clip(self.det.apply(p, x, train=False)[..., 0], 0.0, 1.0)
+                * 255.0 + 0.5
+            ).astype(jnp.uint8)
+        )
+
+    def rec_preprocess(self, crops_f255):
+        """Traceable: [N,H,W,3] float crops in [0,255] -> recognizer input.
+        native: RGB/255; easyocr: grayscale, (x-0.5)/0.5 (easyocr recognition
+        normalization)."""
+        if self.config.arch == "easyocr":
+            gray = (crops_f255[..., 0] * 0.299 + crops_f255[..., 1] * 0.587
+                    + crops_f255[..., 2] * 0.114)
+            return ((gray / 255.0) - 0.5)[..., None] / 0.5
+        return crops_f255 / 255.0
+
+    def decode_ids(self, ids_row) -> str:
+        """Host: one device-argmax id row -> string (this arch's charset)."""
+        return ids_to_text(np.asarray(ids_row), self.charset)
 
     def dispatch_det(self, padded_dev, orig_hw):
         """Async: dispatch letterbox + det net; returns device futures
-        (prob_map [Hd/4, Wd/4], r, (pad_y, pad_x)) without blocking."""
+        (uint8 prob map [Hd/s, Wd/s], r, (pad_y, pad_x)) without blocking."""
         img, r, pads = letterbox(padded_dev, orig_hw, self.config.det_imgsz)
-        prob = self._det_fn(self.det_params, img[None])[0, ..., 0]
-        return prob, r, pads
+        prob_u8 = self._det_q(self.det_params, img[None])[0]
+        return prob_u8, r, pads
 
     def candidates_from_prob(self, prob_np, r, pads, h: int, w: int):
-        """Host half: connected components on the downloaded prob map."""
+        """Host half: connected components on the downloaded prob map
+        (float in [0,1] or quantized uint8)."""
         cfg = self.config
-        candidates = extract_text_boxes(np.asarray(prob_np), min_score=0.3)
+        prob = np.asarray(prob_np)
+        if prob.dtype == np.uint8:
+            prob = prob.astype(np.float32) / 255.0
+        candidates = extract_text_boxes(prob, min_score=0.3)
         r_f, py, px = float(r), float(pads[0]), float(pads[1])
         boxes_px = []
         for (x1, y1, x2, y2), _score in candidates[: cfg.max_text_boxes]:
@@ -392,12 +481,13 @@ class JaxOCR:
         crops = crop_lines_batch(
             padded_dev, orig_hw, jnp.asarray(norm_p), (cfg.rec_height, cfg.rec_max_width)
         )
-        logits = np.asarray(self._rec_fn(self.rec_params, crops / 255.0))
+        logits = np.asarray(self._rec_fn(self.rec_params, self.rec_preprocess(crops)))
 
         texts, out_boxes = [], []
         decode = (
-            (lambda lg: ctc_beam_decode(lg, beam_width))
-            if decoder == "beamsearch" else ctc_greedy_decode
+            (lambda lg: ctc_beam_decode(lg, beam_width, self.charset))
+            if decoder == "beamsearch"
+            else (lambda lg: ctc_greedy_decode(lg, self.charset))
         )
         for i in range(n):
             text, conf = decode(logits[i])

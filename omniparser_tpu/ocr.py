@@ -79,8 +79,10 @@ def make_ocr_backend(config: OcrConfig, weights: str | None = None):
     if config.backend == "null":
         return NullOCR()
     if config.backend == "jax":
-        from omniparser_tpu.models.ocr import JaxOCR
+        from omniparser_tpu.models.ocr import JaxOCR, default_ocr_weights
 
+        if weights == "auto":
+            weights = default_ocr_weights(config)
         return JaxOCR(config, weights=weights)
     if config.backend == "easyocr":
         return EasyOCRBackend(config)

@@ -2,13 +2,25 @@
 
 The full multi-chip serving path (the north star's v5e-8 scaling axis):
 same-bucket screenshots stack on a dp-sharded batch dim and one jitted
-graph runs letterbox+detect+NMS, OCR recognition, overlap merge,
-caption-slot compaction and one big Florence decode over B*K crops.
+graph runs letterbox+detect+NMS, OCR recognition, overlap merge and
+caption-slot compaction; a second (bucketed) dispatch decodes captions.
 GSPMD shards the batch over 'dp' (captioner params can additionally shard
 over 'tp' — parallel/mesh.shard_params_fsdp_tp).
 
+Slot bucketing (round-2 perf fix): the graph used to decode all B*128
+caption slots and recognize all B*256 OCR slots regardless of content,
+which made the batched path slower than per-image pipelining on one chip
+(PERF.md).  Now
+  * OCR slots are trimmed to the largest per-batch candidate count
+    (power-of-2 buckets, floor 32), and
+  * caption decode is a SEPARATE dispatch over the first Kb slots, where
+    Kb is the smallest bucket covering the batch's max caption need —
+    compaction packs needed crops first, so slicing [:, :Kb] is lossless.
+The split costs one extra device round trip per *batch* (amortized over B
+images) and cuts decode work ~4x on typical screens.
+
 Host work stays per-image (connected components, strings, overlay) and is
-pipelined around the single device dispatch.
+pipelined around the device dispatches.
 
 Relationship to SOMPipeline.parse_batch: that path pipelines *independent*
 per-image graphs — right for mixed bucket sizes on one chip; this path is
@@ -26,8 +38,22 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from omniparser_tpu.ops.boxes import int_box_area
 from omniparser_tpu.ops.overlap import merge_icons_and_ocr
-from omniparser_tpu.ops.preprocess import crop_resize_batch, letterbox, pad_to_bucket
+from omniparser_tpu.ops.preprocess import (
+    crop_lines_batch,
+    crop_resize_batch,
+    letterbox,
+    pad_to_bucket,
+)
 from omniparser_tpu.pipeline import SOMPipeline
+
+CAP_BUCKETS = (8, 16, 32, 64, 128)
+
+
+def _bucket(n: int, floor: int, cap: int) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return min(b, cap)
 
 
 class ShardedParse:
@@ -58,7 +84,7 @@ class ShardedParse:
         rec = self._rec
         cap = self._cap
         rec_hw = (cfg.ocr.rec_height, cfg.ocr.rec_max_width)
-        K = cfg.captioner.batch_size
+        self.K = K = cfg.captioner.batch_size
         crop_size = cfg.captioner.crop_size
         if cap is not None:
             from omniparser_tpu.models.florence2 import greedy_generate
@@ -68,7 +94,7 @@ class ShardedParse:
 
         def one_image(det_vars, rec_vars, padded, hw, true_hw, ocr_boxes, ocr_valid,
                       conf, nms_iou, merge_iou, text_thr):
-            """Everything except the caption decode (which batches B*K)."""
+            """Everything except the caption decode (which batches B*Kb)."""
             # int_box_area gates run at ORIGINAL dims (see pipeline.FusedParseStep)
             h, w = true_hw[0], true_hw[1]
             det_boxes, det_scores, det_valid = detector.detect_graph(
@@ -76,10 +102,13 @@ class ShardedParse:
             )
             det_valid = det_valid & (int_box_area(det_boxes, w, h) > 0)
             if rec is not None:
-                line_crops = crop_resize_batch(padded, hw, ocr_boxes, rec_hw)
+                line_crops = crop_lines_batch(padded, hw, ocr_boxes, rec_hw)
                 from omniparser_tpu.models.ocr import ctc_device_stats
 
-                logits = rec.apply(rec_vars, line_crops / 255.0, train=False)
+                logits = rec.apply(
+                    rec_vars, pipeline._jax_ocr.rec_preprocess(line_crops),
+                    train=False,
+                )
                 rec_ids, rec_conf, n_chars = ctc_device_stats(logits)
                 ocr_ok = ocr_valid & (n_chars > 0) & (rec_conf > text_thr)
             else:
@@ -105,27 +134,39 @@ class ShardedParse:
                 out["crops"] = crop_resize_batch(padded, hw, cap_boxes, crop_size)
             return out
 
-        def batched(det_vars, rec_vars, cap_vars, images, hws, true_hws,
+        def stage_a(det_vars, rec_vars, images, hws, true_hws,
                     ocr_boxes, ocr_valid, conf, nms_iou, merge_iou, text_thr):
-            out = jax.vmap(
+            return jax.vmap(
                 one_image, in_axes=(None, None, 0, 0, 0, 0, 0, None, None, None, None)
             )(det_vars, rec_vars, images, hws, true_hws, ocr_boxes, ocr_valid,
               conf, nms_iou, merge_iou, text_thr)
-            if cap is not None:
-                b = images.shape[0]
-                crops = out.pop("crops").reshape((b * K,) + (crop_size, crop_size, 3))
-                prompt = jnp.asarray(np.tile(prompt_one[None], (1, 1)))
-                prompt = jnp.tile(prompt, (b * K, 1))
-                tokens = greedy_generate(cap.model, cap_vars, cap.preprocess(crops),
-                                         prompt, max_new)
-                out["cap_tokens"] = tokens.reshape(b, K, -1)
-            return out
 
-        self._fn = jax.jit(
-            batched,
-            in_shardings=(rep, rep, rep, batch_sh, batch_sh, batch_sh,
+        self._fn_a = jax.jit(
+            stage_a,
+            in_shardings=(rep, rep, batch_sh, batch_sh, batch_sh,
                           batch_sh, batch_sh, rep, rep, rep, rep),
         )
+
+        if cap is not None:
+            def decode(cap_vars, crops):  # crops [B, Kb, cs, cs, 3]
+                b, kb = crops.shape[0], crops.shape[1]
+                flat = crops.reshape((b * kb,) + crops.shape[2:])
+                prompt = jnp.tile(jnp.asarray(prompt_one)[None], (b * kb, 1))
+                tokens = greedy_generate(
+                    cap.model, cap_vars, cap.preprocess(flat), prompt, max_new
+                )
+                return tokens.reshape(b, kb, -1)
+
+            # crops stay dp-sharded through the decode; compiled per Kb
+            # bucket.  tp>1 additionally runs the captioner matmuls
+            # tensor-parallel (GSPMD inserts the ICI collectives).
+            if mesh.shape.get("tp", 1) > 1:
+                from omniparser_tpu.parallel.mesh import shard_params_fsdp_tp
+
+                cap_sh = shard_params_fsdp_tp(cap.params, mesh)
+            else:
+                cap_sh = rep
+            self._fn_b = jax.jit(decode, in_shardings=(cap_sh, batch_sh))
 
     # ------------------------------------------------------------------ #
 
@@ -166,7 +207,7 @@ class ShardedParse:
             lb = jax.vmap(lambda im, hw: letterbox(im, hw, det_s)[0])(
                 images_dev, hws_dev
             )
-            probs = np.asarray(jocr._det_fn(jocr.det_params, lb)[..., 0])
+            probs = np.asarray(jocr._det_q(jocr.det_params, lb))
             for i, ctx in enumerate(ctxs):
                 # closed-form letterbox params (host math; no device sync)
                 uh, uw = int(hws[i, 0]), int(hws[i, 1])
@@ -185,21 +226,36 @@ class ShardedParse:
                 ctx["n_ocr"] = 0
                 ctx["host_texts"] = []
 
+        # OCR slot bucket: largest per-batch candidate count, pow-2, >=32 —
+        # the recognizer then only processes ~the real line count
+        ocr_slots = _bucket(max((c["n_ocr"] for c in ctxs), default=1), 32, max_ocr)
+        ocr_arr = ocr_arr[:, :ocr_slots]
+        ocr_valid = ocr_valid[:, :ocr_slots]
+
         cap_vars = self._cap.params if self._cap else 0
         rec_vars = self.p._jax_ocr.rec_params if self.p._jax_ocr else 0
         true_hws = np.ones((b, 2), np.int32)
         for i, ctx in enumerate(ctxs):
             true_hws[i] = (ctx["h"], ctx["w"])
-        out = jax.device_get(
-            self._fn(
-                self.p.detector_params, rec_vars, cap_vars, images_dev, hws_dev,
-                jnp.asarray(true_hws),
-                jnp.asarray(ocr_arr), jnp.asarray(ocr_valid),
-                jnp.float32(cfg.detector.box_threshold),
-                jnp.float32(cfg.detector.nms_iou_threshold),
-                jnp.float32(cfg.iou_threshold), jnp.float32(cfg.ocr.text_threshold),
-            )
+        out_dev = self._fn_a(
+            self.p.detector_params, rec_vars, images_dev, hws_dev,
+            jnp.asarray(true_hws),
+            jnp.asarray(ocr_arr), jnp.asarray(ocr_valid),
+            jnp.float32(cfg.detector.box_threshold),
+            jnp.float32(cfg.detector.nms_iou_threshold),
+            jnp.float32(cfg.iou_threshold), jnp.float32(cfg.ocr.text_threshold),
         )
+        crops_dev = out_dev.pop("crops", None)
+        out = jax.device_get(out_dev)
+
+        if self._cap is not None:
+            # caption bucket: smallest Kb covering the batch's max need;
+            # compaction packed needed crops into the first slots
+            max_need = int(out["cap_valid"].sum(axis=1).max()) if b else 0
+            if max_need > 0:
+                kb = _bucket(max_need, CAP_BUCKETS[0], self.K)
+                tokens = self._fn_b(cap_vars, crops_dev[:, :kb])
+                out["cap_tokens"] = np.asarray(jax.device_get(tokens))
 
         results = []
         for i, ctx in enumerate(ctxs):
@@ -207,3 +263,27 @@ class ShardedParse:
             ctx["out"] = {k: v[i] for k, v in out.items()}
             results.append(self.p._stage_finish(ctx))
         return results
+
+
+class ShardedServingPipeline:
+    """SOMPipeline-compatible facade for the serving layer: batches route
+    into ShardedParse over the mesh (SURVEY.md §2.7 'expose mesh/sharding
+    config in the serving layer'); single parses are a batch of one."""
+
+    def __init__(self, pipeline: SOMPipeline, mesh):
+        self.inner = pipeline
+        self.config = pipeline.config
+        self.sharded = ShardedParse(pipeline, mesh)
+        self.last_timings: Dict[str, float] = {}
+
+    def parse_batch(self, images: Sequence[np.ndarray]):
+        return self.sharded.parse_images(images)
+
+    def parse_image(self, image_rgb: np.ndarray, **kw):
+        return self.sharded.parse_images([image_rgb])[0]
+
+    def warmup(self, shapes=((1080, 1920),)) -> None:
+        """Compile the batched graphs for the common raw buckets."""
+        for h, w in shapes:
+            blank = np.zeros((h, w, 3), np.uint8)
+            self.sharded.parse_images([blank] * self.sharded.dp)

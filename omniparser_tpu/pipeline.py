@@ -76,10 +76,11 @@ class FusedParseStep:
     """
 
     def __init__(self, detector: Detector, cfg: PipelineConfig,
-                 rec=None, rec_params=None, captioner=None):
+                 rec=None, rec_params=None, captioner=None, rec_pre=None):
         self.detector = detector
         self.cfg = cfg
         self.rec = rec  # rec params travel per-call (see _stage_dispatch)
+        self.rec_pre = rec_pre or (lambda crops: crops / 255.0)
         self.captioner = captioner  # FlorenceCaptioner or None
         self.K = cfg.captioner.batch_size
         self._fn = jax.jit(self._build())
@@ -90,6 +91,7 @@ class FusedParseStep:
         do_cap = self.captioner is not None
         detector = self.detector
         rec = self.rec
+        rec_pre = self.rec_pre
         rec_hw = (cfg.ocr.rec_height, cfg.ocr.rec_max_width)
         K = self.K
         crop_size = cfg.captioner.crop_size
@@ -122,7 +124,7 @@ class FusedParseStep:
                 line_crops = crop_lines_batch(padded, hw, ocr_boxes_norm, rec_hw)
                 from omniparser_tpu.models.ocr import ctc_device_stats
 
-                logits = rec.apply(rec_vars, line_crops / 255.0, train=False)
+                logits = rec.apply(rec_vars, rec_pre(line_crops), train=False)
                 rec_ids, rec_conf, n_chars = ctc_device_stats(logits)
                 ocr_valid = ocr_cand_valid & (n_chars > 0) & (rec_conf > text_thr)
             else:
@@ -241,6 +243,7 @@ class SOMPipeline:
             rec=self._jax_ocr.rec if self._jax_ocr else None,
             rec_params=self._jax_ocr.rec_params if self._jax_ocr else None,
             captioner=florence_cap,
+            rec_pre=self._jax_ocr.rec_preprocess if self._jax_ocr else None,
         )
         self.last_timings: Dict[str, float] = {}
 
@@ -400,10 +403,8 @@ class SOMPipeline:
         host_texts = ctx["host_texts"]
         padded_dev, orig_hw = ctx["padded_dev"], ctx["orig_hw"]
         if self._jax_ocr is not None:
-            from omniparser_tpu.models.ocr import ids_to_text
-
             texts = {
-                k: ids_to_text(out["rec_ids"][k])
+                k: self._jax_ocr.decode_ids(out["rec_ids"][k])
                 for k in range(n_ocr) if out["ocr_valid"][k]
             }
         else:

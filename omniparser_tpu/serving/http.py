@@ -169,6 +169,10 @@ def main(argv=None):
     ap.add_argument("--max_som_side", type=int, default=1920,
                     help="SOM overlay canvas cap (0 = native resolution); "
                     "drawing+PNG at 4K costs 0.1-0.4 s/request")
+    ap.add_argument("--mesh", default=None, metavar="DP,TP",
+                    help="shard batched parses over a device mesh, e.g. "
+                    "'8,1' (data parallel) or '4,2' (dp x captioner tensor "
+                    "parallel); requires dp*tp devices")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -186,7 +190,16 @@ def main(argv=None):
         captioner_weights=args.caption_model_path,
         max_som_side=args.max_som_side or None,
     )
-    server = OmniparserServer(cfg, ServerConfig(host=args.host, port=args.port))
+    pipeline = None
+    if args.mesh:
+        from omniparser_tpu.parallel.mesh import make_mesh
+        from omniparser_tpu.parallel.sharded_parse import ShardedServingPipeline
+        from omniparser_tpu.pipeline import SOMPipeline
+
+        dp, tp = (int(x) for x in args.mesh.split(","))
+        pipeline = ShardedServingPipeline(SOMPipeline(cfg), make_mesh(dp=dp, tp=tp))
+    server = OmniparserServer(cfg, ServerConfig(host=args.host, port=args.port),
+                              pipeline=pipeline)
     server.pipeline.warmup()
     server.serve_forever()
 

@@ -59,16 +59,20 @@ def _rand_word(rng: np.random.Generator) -> str:
     return word
 
 
-def sample_text(rng: np.random.Generator, max_chars: int = 28) -> str:
+def sample_text(rng: np.random.Generator, max_chars: int | None = None) -> str:
     """One GUI-plausible line: menu items, labels, filenames, numbers,
-    URLs, shortcuts, or random charset coverage."""
+    URLs, shortcuts, sentences, or random charset coverage.  ~20% of lines
+    are long (up to 52 chars) so full-sentence GUI strings are
+    in-distribution for the aspect-compressing rec crop."""
+    if max_chars is None:
+        max_chars = 52 if rng.random() < 0.2 else 28
     kind = rng.integers(0, 10)
     if kind < 4:  # menu / button phrase
-        n = int(rng.integers(1, 4))
+        n = int(rng.integers(1, 4 if max_chars <= 28 else 7))
         words = [GUI_WORDS[i] for i in rng.integers(0, len(GUI_WORDS), n)]
         text = " ".join(words) + PUNCT_TAIL[rng.integers(0, len(PUNCT_TAIL))]
     elif kind < 6:  # random words
-        n = int(rng.integers(1, 4))
+        n = int(rng.integers(1, 4 if max_chars <= 28 else 8))
         text = " ".join(_rand_word(rng) for _ in range(n))
     elif kind == 6:  # number-ish: times, sizes, percents, versions
         style = rng.integers(0, 5)
@@ -188,8 +192,8 @@ def render_line(
 def render_line_buffers(
     rng: np.random.Generator,
     n: int,
-    max_label_len: int = 32,
-    buf_hw: Tuple[int, int] = (64, 1024),
+    max_label_len: int = 56,
+    buf_hw: Tuple[int, int] = (64, 1536),
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str]]:
     """Pure-host half of the rec data path (multiprocessing-safe: no jax):
     n natural-size line renders packed top-left into fixed buffers.
@@ -322,18 +326,20 @@ def render_screenshot(
 
 
 def shrink_map(
-    boxes: Sequence[Sequence[int]], size: int, factor: int = 4, shrink: float = 0.4
+    boxes: Sequence[Sequence[int]], size: int, factor: int = 2, shrink: float = 0.4
 ) -> np.ndarray:
-    """DBNet-style shrink-map target at 1/factor scale: each text rect is
-    shrunk by offset d = area*(1-r^2)/perimeter (r=0.4) before painting,
-    so adjacent lines stay separable in the probability map."""
+    """DBNet-style shrink-map target at 1/factor scale (factor matches
+    TextDetector.out_scale): each text rect is shrunk by offset
+    d = area*(1-r^2)/perimeter (r=0.4), CAPPED at 25% of the short side —
+    the uncapped DBNet offset erases 8-14 px GUI text lines entirely —
+    before painting, so adjacent lines stay separable in the map."""
     s = size // factor
     out = np.zeros((s, s), np.float32)
     for x1, y1, x2, y2 in boxes:
         w, h = x2 - x1, y2 - y1
         if w <= 0 or h <= 0:
             continue
-        d = w * h * (1 - shrink**2) / (2 * (w + h))
+        d = min(w * h * (1 - shrink**2) / (2 * (w + h)), 0.25 * min(w, h))
         sx1 = int(round((x1 + d) / factor))
         sy1 = int(round((y1 + d) / factor))
         sx2 = int(round((x2 - d) / factor))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from functools import partial
 from typing import Any, Dict, Tuple
@@ -43,16 +44,21 @@ from omniparser_tpu.train.synth_text import (
     shrink_map,
 )
 
-REC_HW = (32, 320)
-MAX_LABEL = 32
+REC_HW = (32, 480)  # OcrConfig.rec_height/rec_max_width defaults
+MAX_LABEL = 56
 
 
 # ------------------------------ datasets ------------------------------ #
 
 
-def build_rec_dataset(n: int, seed: int, chunk: int = 512):
+def build_rec_dataset(n: int, seed: int, chunk: int = 512, cache: bool = True):
     """(crops [n,32,320,3] u8, labels [n,L] i32). Chunked so the jax crop
-    transform stays small."""
+    transform stays small.  Rendering is single-core-bound (~20 min for
+    120k lines); cache to /tmp so retrain iterations skip it."""
+    cache_path = f"/tmp/ocr_rec_data_s{seed}_n{n}_{REC_HW[1]}.npz"
+    if cache and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return z["crops"], z["labels"]
     rng = np.random.default_rng(seed)
     crops = np.zeros((n, *REC_HW, 3), np.uint8)
     labels = np.zeros((n, MAX_LABEL), np.int32)
@@ -64,18 +70,24 @@ def build_rec_dataset(n: int, seed: int, chunk: int = 512):
         labels[s:e] = lab
         if s and s % (chunk * 16) == 0:
             print(f"  rec data {e}/{n} ({time.time() - t0:.0f}s)", flush=True)
+    if cache:
+        np.savez(cache_path, crops=crops, labels=labels)
     return crops, labels
 
 
-def build_det_dataset(n: int, seed: int, size: int = 640):
-    """(screens [n,S,S,3] u8, maps [n,S/4,S/4] f32).  30% of screens are
-    rendered at 1.5-2x and downscaled, matching the letterbox shrink that
-    high-resolution screenshots see at inference (det_imgsz=960 vs 4K)."""
+def build_det_dataset(n: int, seed: int, size: int = 640, cache: bool = True):
+    """(screens [n,S,S,3] u8, maps [n,S/2,S/2] u8 {0,1}).  30% of screens
+    are rendered at 1.5-2x and downscaled, matching the letterbox shrink
+    that high-resolution screenshots see at inference (det_imgsz=960 vs 4K)."""
     import cv2
 
+    cache_path = f"/tmp/ocr_det_data_s{seed}_n{n}_v2.npz"
+    if cache and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return z["screens"], z["maps"]
     rng = np.random.default_rng(seed)
     screens = np.zeros((n, size, size, 3), np.uint8)
-    maps = np.zeros((n, size // 4, size // 4), np.float32)
+    maps = np.zeros((n, size // 2, size // 2), np.uint8)
     t0 = time.time()
     for i in range(n):
         if rng.random() < 0.3:
@@ -90,6 +102,8 @@ def build_det_dataset(n: int, seed: int, size: int = 640):
         maps[i] = shrink_map(boxes, size)
         if i and i % 200 == 0:
             print(f"  det data {i}/{n} ({time.time() - t0:.0f}s)", flush=True)
+    if cache:
+        np.savez(cache_path, screens=screens, maps=maps)
     return screens, maps
 
 
@@ -269,7 +283,8 @@ def train_detector(
     print("det: training ...", flush=True)
     run_chunk = _make_scan_runner(
         tx, loss_for, batch, dataset_size,
-        lambda data, idx: (data[0][idx].astype(jnp.float32) / 255.0, data[1][idx]),
+        lambda data, idx: (data[0][idx].astype(jnp.float32) / 255.0,
+                           data[1][idx].astype(jnp.float32)),
     )
     data_dev = (jnp.asarray(screens), jnp.asarray(maps))
     del screens, maps

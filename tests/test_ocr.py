@@ -47,16 +47,16 @@ def test_extract_text_boxes():
     assert len(boxes) == 1
     (x1, y1, x2, y2), score = boxes[0]
     assert score == pytest.approx(0.9, abs=1e-5)
-    # det map is at 1/4 scale: blob [5,10,25,14] -> px *4 with margin
-    assert x1 < 5 * 4 < 25 * 4 < x2
-    assert y1 < 10 * 4 < 14 * 4 < y2
+    # det map is at 1/2 scale: blob [5,10,25,14] -> px *2 with unclip margin
+    assert x1 < 5 * 2 < 25 * 2 < x2
+    assert y1 < 10 * 2 < 14 * 2 < y2
 
 
 def test_detector_output_shape():
     det = TextDetector(width=8)
     params = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     out = det.apply(params, jnp.zeros((2, 64, 64, 3)), train=False)
-    assert out.shape == (2, 16, 16, 1)
+    assert out.shape == (2, 32, 32, 1)  # 1/out_scale of the input
     assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
 
 
@@ -115,3 +115,20 @@ def test_jax_ocr_loads_trained_weights(tmp_path, rng):
     img = rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)
     texts, boxes = loaded.recognize(img)
     assert len(texts) == len(boxes)
+
+
+def test_easyocr_arch_end_to_end(rng):
+    """OcrConfig.arch='easyocr' (CRAFT + VGG-BiLSTM-CTC, the reference's OCR
+    stack) runs the same recognize() path end to end (random init)."""
+    cfg = OcrConfig(arch="easyocr", det_imgsz=128, rec_height=64,
+                    rec_max_width=128, text_threshold=0.0)
+    ocr = JaxOCR(cfg)
+    from omniparser_tpu.models.ocr_easy import EASYOCR_EN_CHARSET
+
+    assert ocr.charset == EASYOCR_EN_CHARSET
+    img = rng.integers(0, 255, (100, 120, 3), dtype=np.uint8)
+    texts, boxes = ocr.recognize(img)
+    assert len(texts) == len(boxes)
+    for b in boxes:
+        x1, y1, x2, y2 = b
+        assert 0 <= x1 < x2 <= 120 and 0 <= y1 < y2 <= 100

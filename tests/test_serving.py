@@ -127,3 +127,59 @@ def test_microbatcher_respects_max_batch():
     [f.result(timeout=5) for f in futs]
     mb.close()
     assert max(sizes) <= 2
+
+
+@pytest.mark.slow
+def test_mesh_served_matches_single_path(rng):
+    """--mesh serving route: a ShardedServingPipeline-backed server returns
+    element lists identical to the single-chip path (SURVEY.md §2.7 'expose
+    mesh/sharding config in the serving layer')."""
+    import http.server
+
+    from omniparser_tpu.config import CaptionerConfig, DetectorConfig, OcrConfig
+    from omniparser_tpu.models.florence2 import FlorenceCaptioner
+    from omniparser_tpu.parallel.mesh import make_mesh
+    from omniparser_tpu.parallel.sharded_parse import ShardedServingPipeline
+    from omniparser_tpu.pipeline import SOMPipeline
+    from tests.test_florence import TINY
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(default_imgsz=128, max_detections=16),
+        captioner=CaptionerConfig(batch_size=8, crop_size=32, max_new_tokens=4),
+        ocr=OcrConfig(backend="null"),
+    )
+    inner = SOMPipeline(cfg, captioner=FlorenceCaptioner(cfg.captioner, dims=TINY))
+    served = ShardedServingPipeline(inner, make_mesh(dp=4, tp=2))
+    srv = OmniparserServer(cfg, ServerConfig(port=0, max_batch=8), pipeline=served)
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler())
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        images = [rng.integers(0, 255, (100, 120, 3), dtype=np.uint8) for _ in range(8)]
+        # compile the batched graphs up front (b=4 and b=8 paddings): the
+        # micro-batcher may form any batch size, and a first-request compile
+        # would blow the urllib timeout.  (Sharded-vs-single element parity
+        # is test_sharded_parse's job; HERE we pin the serving ROUTE: HTTP ->
+        # batcher -> ShardedParse must reproduce direct sharded parses.)
+        served.parse_batch(images[:1])
+        expected = [e for _, _, e in served.parse_batch(images)]
+        results = [None] * 8
+
+        def post(i):
+            _, body = _req(port, "/parse/", {"base64_image": encode_image_base64(images[i])})
+            results[i] = body["parsed_content_list"]
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for want, elements in zip(expected, results):
+            assert elements is not None, "a POST failed"
+            assert len(elements) == len(want)
+            for a, b in zip(elements, want):
+                np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-5)
+                assert a["content"] == b["content"] and a["source"] == b["source"]
+    finally:
+        httpd.shutdown()
+        srv.batcher.close()
