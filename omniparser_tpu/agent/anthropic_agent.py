@@ -46,9 +46,14 @@ def prune_images(messages: List[Dict], keep_n: int) -> List[Dict]:
 class AnthropicActor:
     def __init__(self, model: str = "claude-3-5-sonnet-20241022",
                  client: AnthropicClient | None = None, tool_params: List[Dict] = None,
-                 max_tokens: int = 4096, only_n_most_recent_images: int = 2):
+                 max_tokens: int = 4096, only_n_most_recent_images: int = 2,
+                 provider: str = "anthropic"):
+        from omniparser_tpu.agent.llm import make_anthropic_client
+
         self.model = model
-        self.client = client or AnthropicClient(model)
+        # provider switch per the reference (anthropic_agent.py:74-79):
+        # 'anthropic' | 'bedrock' | 'vertex'
+        self.client = client or make_anthropic_client(provider, model)
         self.tool_params = tool_params or []
         self.max_tokens = max_tokens
         self.only_n = only_n_most_recent_images

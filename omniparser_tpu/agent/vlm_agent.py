@@ -15,15 +15,17 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 from omniparser_tpu.agent.llm import estimate_cost
 
+# Same 8-action contract as the reference agent (vlm_agent.py:222-230);
+# wording is ours, the semantics the executor implements are identical.
 ACTION_SPACE = """
-1. type: types a string of text.
-2. left_click: move mouse to box id and left clicks.
-3. right_click: move mouse to box id and right clicks.
-4. double_click: move mouse to box id and double clicks.
-5. hover: move mouse to box id.
-6. scroll_up: scrolls the screen up to view previous content.
-7. scroll_down: scrolls the screen down to view later content.
-8. wait: waits for 1 second for the device to load or respond.
+1. type: enter a text string with the keyboard.
+2. left_click: move the cursor to the chosen Box ID, then click the left button.
+3. right_click: move the cursor to the chosen Box ID, then click the right button.
+4. double_click: move the cursor to the chosen Box ID, then click the left button twice.
+5. hover: only move the cursor to the chosen Box ID.
+6. scroll_up: scroll the page upward toward earlier content.
+7. scroll_down: scroll the page downward toward later content.
+8. wait: pause one second so the device can finish loading or responding.
 """.strip()
 
 

@@ -403,6 +403,20 @@ class JaxOCR:
                 * 255.0 + 0.5
             ).astype(jnp.uint8)
         )
+        # letterbox + det in ONE jitted graph: on a tunneled TPU every
+        # dispatch costs a round trip (CLAUDE.md), so the latency path
+        # makes exactly one det dispatch and downloads one uint8 map
+        imgsz = self.config.det_imgsz
+
+        @jax.jit
+        def det_full(p, padded, hw):
+            img, _r, _pads = letterbox(padded, hw, imgsz)
+            return (
+                jnp.clip(self.det.apply(p, img[None], train=False)[0, ..., 0],
+                         0.0, 1.0) * 255.0 + 0.5
+            ).astype(jnp.uint8)
+
+        self._det_full = det_full
 
     def rec_preprocess(self, crops_f255):
         """Traceable: [N,H,W,3] float crops in [0,255] -> recognizer input.
@@ -418,11 +432,20 @@ class JaxOCR:
         """Host: one device-argmax id row -> string (this arch's charset)."""
         return ids_to_text(np.asarray(ids_row), self.charset)
 
-    def dispatch_det(self, padded_dev, orig_hw):
-        """Async: dispatch letterbox + det net; returns device futures
-        (uint8 prob map [Hd/s, Wd/s], r, (pad_y, pad_x)) without blocking."""
-        img, r, pads = letterbox(padded_dev, orig_hw, self.config.det_imgsz)
-        prob_u8 = self._det_q(self.det_params, img[None])[0]
+    def dispatch_det(self, padded_dev, orig_hw, hw_host=None):
+        """Async: ONE fused letterbox+det dispatch; returns
+        (uint8 prob map [Hd/s, Wd/s] device future, r, (pad_y, pad_x))
+        without blocking.  The letterbox params are closed-form host math
+        when hw_host=(h, w) is given — fetching them as device scalars
+        would cost an extra tunnel round trip each."""
+        prob_u8 = self._det_full(self.det_params, padded_dev, orig_hw)
+        s = self.config.det_imgsz
+        if hw_host is None:
+            hw = np.asarray(orig_hw)  # blocks; prefer passing hw_host
+            hw_host = (int(hw[0]), int(hw[1]))
+        uh, uw = hw_host
+        r = min(s / uh, s / uw)
+        pads = ((s - uh * r) / 2.0, (s - uw * r) / 2.0)
         return prob_u8, r, pads
 
     def candidates_from_prob(self, prob_np, r, pads, h: int, w: int):
@@ -446,7 +469,7 @@ class JaxOCR:
 
     def detect_candidates(self, padded_dev, orig_hw, h: int, w: int):
         """Blocking convenience: dispatch + download + components."""
-        prob, r, pads = self.dispatch_det(padded_dev, orig_hw)
+        prob, r, pads = self.dispatch_det(padded_dev, orig_hw, hw_host=(h, w))
         return self.candidates_from_prob(prob, r, pads, h, w)
 
     def recognize(self, image_rgb, padded_dev=None, orig_hw=None, *,

@@ -290,7 +290,9 @@ class SOMPipeline:
         ctxs = [self._stage_upload(img) for img in images]
         if self._jax_ocr is not None:
             for ctx in ctxs:  # dispatch all det nets before any download
-                ctx["ocr_fut"] = self._jax_ocr.dispatch_det(ctx["padded_dev"], ctx["orig_hw"])
+                ctx["ocr_fut"] = self._jax_ocr.dispatch_det(
+                    ctx["padded_dev"], ctx["orig_hw"], hw_host=(ctx["uh"], ctx["uw"])
+                )
         for ctx in ctxs:
             self._stage_ocr(ctx)
             self._stage_dispatch(ctx, None, None)
@@ -339,7 +341,9 @@ class SOMPipeline:
         if self._jax_ocr is not None:
             fut = ctx.pop("ocr_fut", None)
             if fut is None:
-                fut = self._jax_ocr.dispatch_det(ctx["padded_dev"], ctx["orig_hw"])
+                fut = self._jax_ocr.dispatch_det(
+                    ctx["padded_dev"], ctx["orig_hw"], hw_host=(ctx["uh"], ctx["uw"])
+                )
             prob, r, pads = fut
             boxes_px = self._jax_ocr.candidates_from_prob(prob, r, pads, uh, uw)
             frame_wh = (uw, uh)

@@ -255,3 +255,60 @@ def test_anthropic_loop_with_fake_client(vm):
     # the screenshot came back as an image tool_result
     tr = turns[0]["tool_results"][0]
     assert any(c["type"] == "image" for c in tr["content"])
+
+
+def test_anthropic_provider_clients(monkeypatch):
+    """Provider switch (reference anthropic_agent.py:74-79): each client
+    builds the right endpoint/auth/body without network."""
+    from omniparser_tpu.agent import llm as llm_mod
+    from omniparser_tpu.agent.llm import make_anthropic_client
+
+    captured = {}
+
+    class _Resp:
+        status_code = 200
+
+        @staticmethod
+        def json():
+            return {"content": [{"type": "text", "text": "ok"}], "usage": {}}
+
+    def fake_post(url, **kw):
+        captured["url"] = url
+        captured["kw"] = kw
+        return _Resp()
+
+    monkeypatch.setattr(llm_mod.requests, "post", fake_post)
+
+    msgs = [{"role": "user", "content": "hi"}]
+    c = make_anthropic_client("anthropic", "claude-3-5-sonnet-20241022")
+    c(msgs, "sys", [])
+    assert captured["url"].endswith("/v1/messages")
+    assert captured["kw"]["headers"]["anthropic-beta"] == "computer-use-2024-10-22"
+
+    b = make_anthropic_client(
+        "bedrock", "anthropic.claude-3-5-sonnet-20241022-v2:0",
+        region="us-west-2", access_key="AK", secret_key="SK",
+    )
+    b(msgs, "sys", [])
+    assert "bedrock-runtime.us-west-2.amazonaws.com" in captured["url"]
+    auth = captured["kw"]["headers"]["authorization"]
+    assert auth.startswith("AWS4-HMAC-SHA256 Credential=AK/")
+    assert "us-west-2/bedrock/aws4_request" in auth
+    import json as _json
+
+    body = _json.loads(captured["kw"]["data"])
+    assert body["anthropic_version"] == "bedrock-2023-05-31"
+
+    v = make_anthropic_client("vertex", "claude-3-5-sonnet-v2@20241022",
+                              project="proj", region="us-east5",
+                              access_token="tok")
+    v(msgs, "sys", [])
+    assert "us-east5-aiplatform.googleapis.com" in captured["url"]
+    assert "/publishers/anthropic/models/claude-3-5-sonnet-v2@20241022:rawPredict" in captured["url"]
+    assert captured["kw"]["headers"]["Authorization"] == "Bearer tok"
+    assert captured["kw"]["json"]["anthropic_version"] == "vertex-2023-10-16"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_anthropic_client("nope", "m")
