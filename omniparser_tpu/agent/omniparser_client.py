@@ -28,13 +28,17 @@ class OmniParserClient:
         """Returns {'original_screenshot_base64', 'som_image_base64',
         'parsed_content_list', 'screen_info', 'latency'} — the shape the
         agents consume (omniparserclient.py:14-44)."""
+        from omniparser_tpu.utils.retry import retry_call
+
         if screenshot_b64 is None:
             if self.computer is None:
                 raise ValueError("no screenshot provided and no VM attached")
             screenshot_b64 = self.computer.get_screenshot()
-        resp = requests.post(
-            f"{self.server_url}/parse/", json={"base64_image": screenshot_b64}, timeout=300
-        )
+        # parse is idempotent: retry transient server drops with backoff
+        resp = retry_call(lambda: requests.post(
+            f"{self.server_url}/parse/", json={"base64_image": screenshot_b64},
+            timeout=300,
+        ))
         resp.raise_for_status()
         data = resp.json()
         elements = data["parsed_content_list"]

@@ -76,10 +76,17 @@ class ComputerTool:
         return resp.json().get("output", "")
 
     def get_screenshot(self) -> str:
-        """Guest screenshot -> base64 PNG resized to the target resolution."""
+        """Guest screenshot -> base64 PNG resized to the target resolution.
+
+        Screenshots are idempotent, so transient VM hiccups are retried
+        with backoff (actions in send_to_vm are NOT — replaying a click
+        that may have landed is a correctness bug)."""
         from PIL import Image
 
-        resp = requests.get(f"{self.vm_url}/screenshot", timeout=90)
+        from omniparser_tpu.utils.retry import retry_call
+
+        resp = retry_call(
+            lambda: requests.get(f"{self.vm_url}/screenshot", timeout=90))
         if resp.status_code != 200:
             raise ToolError(f"VM screenshot failed [{resp.status_code}]")
         img = Image.open(io.BytesIO(base64.b64decode(resp.json()["screenshot"])))

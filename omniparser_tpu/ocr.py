@@ -91,6 +91,26 @@ def make_ocr_backend(config: OcrConfig, weights: str | None = None):
     raise ValueError(f"unknown OCR backend {config.backend!r}")
 
 
+_BACKEND_CACHE: dict = {}
+
+
+def _default_backend(cfg: OcrConfig):
+    """Singleton default backends keyed by config, with the shipped trained
+    checkpoint (weights='auto').  Mirrors the reference's module-level
+    `reader`/`paddle_ocr` singletons (util/utils.py:20-31) — building a
+    JaxOCR per call would recompile its nets every time."""
+    backend = _BACKEND_CACHE.get(cfg)  # OcrConfig is frozen -> hashable
+    if backend is None:
+        try:
+            backend = make_ocr_backend(cfg, weights="auto")
+        except ImportError:  # easyocr/paddle not installed -> jax backend
+            backend = make_ocr_backend(
+                OcrConfig(backend="jax", text_threshold=cfg.text_threshold),
+                weights="auto")
+        _BACKEND_CACHE[cfg] = backend
+    return backend
+
+
 def check_ocr_box(
     image_source,
     display_img: bool = False,
@@ -118,10 +138,7 @@ def check_ocr_box(
             backend="paddle" if use_paddleocr else "jax",
             text_threshold=args.get("text_threshold", 0.5 if use_paddleocr else 0.8),
         )
-        try:
-            backend = make_ocr_backend(cfg)
-        except ImportError:
-            backend = make_ocr_backend(OcrConfig(backend="jax"))
+        backend = _default_backend(cfg)
 
     # easyocr_args beyond text_threshold (the reference eval passes
     # paragraph/decoder/beamWidth/batch_size — eval/ss_pro_gpt4o_omniv2.py:41):

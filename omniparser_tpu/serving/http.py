@@ -56,19 +56,27 @@ class OmniparserServer:
         from omniparser_tpu.pipeline import SOMPipeline
         from omniparser_tpu.serving.batcher import MicroBatcher
         from omniparser_tpu.utils.image import decode_base64_image, encode_image_base64
+        from omniparser_tpu.utils.metrics import Metrics, jlog
 
         self.server_config = server_config or ServerConfig()
         self.pipeline = pipeline or SOMPipeline(pipeline_config)
         self._decode = decode_base64_image
         self._encode = encode_image_base64
+        self.metrics = Metrics()
+        self._jlog = jlog
 
         def process_batch(images):
             # items are pre-decoded np arrays: a bad-base64 request fails in
             # its own handler thread (400) and can't poison batch-mates
+            t0 = time.perf_counter()
             if hasattr(self.pipeline, "parse_batch"):
                 results = self.pipeline.parse_batch(images)
             else:  # test fakes
                 results = [self.pipeline.parse_image(im) for im in images]
+            self.metrics.observe("parse_batch_size", len(images))
+            self.metrics.observe("parse_batch_seconds", time.perf_counter() - t0)
+            for name, v in getattr(self.pipeline, "last_timings", {}).items():
+                self.metrics.observe(f"stage_{name}_seconds", v)
             return [(self._encode(annotated), elements)
                     for annotated, _, elements in results]
 
@@ -83,10 +91,15 @@ class OmniparserServer:
         t0 = time.perf_counter()
         image = self._decode(base64_image)  # per-request; errors -> 400 here
         som_b64, elements = self.batcher.submit(image).result()
+        latency = time.perf_counter() - t0
+        self.metrics.observe("parse_latency_seconds", latency)
+        self.metrics.count("parse_elements_total", len(elements))
+        self._jlog("parse", latency_s=round(latency, 4),
+                   image_hw=list(image.shape[:2]), elements=len(elements))
         return {
             "som_image_base64": som_b64,
             "parsed_content_list": elements,
-            "latency": time.perf_counter() - t0,
+            "latency": latency,
         }
 
     # ------------------------------------------------------------------ #
@@ -102,6 +115,7 @@ class OmniparserServer:
 
             def _send(self, code: int, payload: dict):
                 body = json.dumps(payload).encode()
+                server.metrics.count(f'responses_total{{code="{code}"}}')
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -109,8 +123,21 @@ class OmniparserServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path.rstrip("/") == "/probe":
+                path, _, query = self.path.partition("?")
+                if path.rstrip("/") == "/probe":
                     self._send(200, {"message": "Omniparser API ready"})
+                elif path.rstrip("/") == "/metrics":
+                    if "format=prometheus" in query:
+                        body = server.metrics.render_prometheus().encode()
+                        server.metrics.count('responses_total{code="200"}')
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/plain; version=0.0.4")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    else:
+                        self._send(200, server.metrics.snapshot())
                 elif self.path in ("/", "/demo"):
                     body = DEMO_PAGE.encode()
                     self.send_response(200)

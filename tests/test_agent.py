@@ -312,3 +312,123 @@ def test_anthropic_provider_clients(monkeypatch):
 
     with _pytest.raises(ValueError):
         make_anthropic_client("nope", "m")
+
+
+def test_agent_console_end_to_end(vm, parse_server):
+    """Chat console (reference omnitool/gradio/app.py): /run starts a
+    sampling loop against real HTTP servers; /state streams turn events;
+    pre-run probes reject bad server URLs (app.py:189-208)."""
+    import time
+    import urllib.request
+
+    from omniparser_tpu.agent.console import AgentConsole
+    from omniparser_tpu.agent.llm import MockLLM
+
+    _, vm_url = vm
+    script = json.dumps({
+        "Reasoning": "click the save button",
+        "Next Action": "left_click", "Box ID": 1,
+    })
+
+    console = AgentConsole(
+        parse_server, vm_url,
+        llm_client_factory=lambda *a, **k: MockLLM([script]))
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), console.make_handler())
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def req(path, payload=None):
+            url = f"http://127.0.0.1:{port}{path}"
+            if payload is None:
+                r = urllib.request.urlopen(url, timeout=10)
+            else:
+                r = urllib.request.urlopen(urllib.request.Request(
+                    url, json.dumps(payload).encode()), timeout=10)
+            return json.loads(r.read())
+
+        sid = req("/run", {"task": "save the file", "model": "omniparser + gpt-4o",
+                           "provider": "mock"})["sid"]
+        for _ in range(100):
+            state = req(f"/state?sid={sid}")
+            if state["done"]:
+                break
+            time.sleep(0.1)
+        assert state["done"] and state["error"] is None
+        assert len(state["events"]) >= 1
+        ev = state["events"][0]
+        assert ev["reasoning"] == "click the save button"
+        assert any(a["name"] == "computer" for a in ev["actions"])
+        assert ev["som_image_base64"] and ev["n_elements"] == 2
+
+        # pre-run probe validation: dead VM URL -> 400 with a clear error
+        bad = AgentConsole(parse_server, "http://127.0.0.1:9",
+                           llm_client_factory=lambda *a, **k: MockLLM([]))
+        with pytest.raises(ConnectionError, match="VM not ready"):
+            bad.start_session("t", "mock", "mock")
+    finally:
+        httpd.shutdown()
+
+
+def test_retry_call_and_wait_until_ready(vm, monkeypatch):
+    """Bounded retry for idempotent calls + probe-poll readiness
+    (SURVEY §5: the reference has no retry story; manage_vm.sh:14-21
+    polls /probe in shell)."""
+    import requests
+
+    from omniparser_tpu.utils.retry import retry_call, wait_until_ready
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise requests.ConnectionError("transient")
+        return "ok"
+
+    assert retry_call(flaky, backoff_s=0.01) == "ok" and calls["n"] == 3
+
+    with pytest.raises(requests.ConnectionError):  # exhaustion re-raises
+        retry_call(lambda: (_ for _ in ()).throw(requests.ConnectionError("x")),
+                   retries=1, backoff_s=0.01)
+
+    with pytest.raises(ValueError):  # non-retryable propagates immediately
+        retry_call(lambda: (_ for _ in ()).throw(ValueError("no")), backoff_s=0.01)
+
+    _, url = vm
+    assert wait_until_ready(url, timeout_s=5)
+    assert not wait_until_ready("http://127.0.0.1:9", timeout_s=1.5, interval_s=0.3)
+
+
+def test_screenshot_retries_transient_failure(vm, monkeypatch):
+    """ComputerTool.get_screenshot survives one dropped connection; actions
+    (send_to_vm) are never retried — a timed-out click may have landed."""
+    import requests as _requests
+
+    from omniparser_tpu.agent.tools import computer as computer_mod
+
+    _, url = vm
+    tool = ComputerTool(url, settle_s=0.0)
+    real_get = _requests.get
+    state = {"fails": 1}
+
+    def flaky_get(*a, **kw):
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise _requests.ConnectionError("dropped")
+        return real_get(*a, **kw)
+
+    monkeypatch.setattr(computer_mod.requests, "get", flaky_get)
+    shot = tool.get_screenshot()
+    assert shot and len(shot) > 1000
+
+    # send_to_vm: a connection error surfaces immediately, no replay
+    calls = {"n": 0}
+
+    def failing_post(*a, **kw):
+        calls["n"] += 1
+        raise _requests.ConnectionError("dropped")
+
+    monkeypatch.setattr(computer_mod.requests, "post", failing_post)
+    with pytest.raises(_requests.ConnectionError):
+        tool.send_to_vm("print(1)")
+    assert calls["n"] == 1

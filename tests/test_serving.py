@@ -183,3 +183,40 @@ def test_mesh_served_matches_single_path(rng):
     finally:
         httpd.shutdown()
         srv.batcher.close()
+
+
+def test_metrics_endpoint(server, rng):
+    """GET /metrics/ exposes counters + latency histograms (SURVEY §5:
+    reference has print-only observability; ours is a metrics endpoint)."""
+    _, port = server
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    _req(port, "/parse/", {"base64_image": encode_image_base64(img)})
+    status, snap = _req(port, "/metrics/")
+    assert status == 200
+    assert snap["counters"]['responses_total{code="200"}'] >= 1
+    hist = snap["histograms"]["parse_latency_seconds"]
+    assert hist["count"] == 1 and hist["sum"] > 0
+    assert snap["histograms"]["parse_batch_size"]["count"] == 1
+    # Prometheus text exposition
+    url = f"http://127.0.0.1:{port}/metrics/?format=prometheus"
+    r = urllib.request.urlopen(url, timeout=10)
+    text = r.read().decode()
+    assert "# TYPE parse_latency_seconds histogram" in text
+    assert 'parse_latency_seconds_bucket{le="+Inf"} 1' in text
+
+
+def test_structured_logging(monkeypatch, capsys):
+    """OMNIPARSER_LOG=json turns jlog into one JSON line per event."""
+    import io
+
+    from omniparser_tpu.utils.metrics import jlog
+
+    monkeypatch.setenv("OMNIPARSER_LOG", "json")
+    buf = io.StringIO()
+    jlog("parse", _stream=buf, latency_s=0.12, elements=7)
+    rec = json.loads(buf.getvalue())
+    assert rec["event"] == "parse" and rec["elements"] == 7 and "ts" in rec
+    monkeypatch.delenv("OMNIPARSER_LOG")
+    buf2 = io.StringIO()
+    jlog("parse", _stream=buf2)
+    assert buf2.getvalue() == ""  # disabled by default
