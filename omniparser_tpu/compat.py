@@ -151,6 +151,77 @@ def get_parsed_content_icon(filtered_boxes, starting_idx, image_source,
     return out
 
 
+def load_image(image_path: str):
+    """DINO-style legacy loader (util/utils.py:312-323): returns
+    (image np RGB uint8, normalized CHW float32 array) with the shorter
+    side resized to 800 px capped at 1333, ImageNet-normalized.
+
+    The main parse path never calls this (it letterboxes on device,
+    ops/preprocess.py); kept for migration parity."""
+    from PIL import Image
+
+    src = Image.open(image_path).convert("RGB")
+    image = np.asarray(src)
+    w, h = src.size
+    scale = min(800.0 / min(h, w), 1333.0 / max(h, w))
+    tw, th = round(w * scale), round(h * scale)
+    resized = np.asarray(src.resize((tw, th), Image.BILINEAR), np.float32) / 255.0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    transformed = ((resized - mean) / std).transpose(2, 0, 1)
+    return image, transformed
+
+
+def predict(model, image, caption: str, box_threshold: float,
+            text_threshold: float):
+    """Grounded (open-vocabulary) detection with the reference's signature
+    (util/utils.py:357-375): returns (boxes xyxy px, logits, phrases).
+
+    The reference delegates to an HF GroundingDINO-class model; that model
+    family is not part of this framework, so the TPU build composes its own
+    parts: detect boxes (YOLOv8 + on-device NMS), caption each crop
+    (Florence-class), and ground captions against the '.'-separated query
+    phrases by token overlap.  `model` mirrors the reference dict shape:
+    {'model': (detector, params), 'processor': captioner}.
+    """
+    detector_pair = model["model"] if isinstance(model, dict) else model
+    captioner = model.get("processor") if isinstance(model, dict) else None
+
+    img = image
+    if hasattr(img, "convert"):
+        img = np.asarray(img.convert("RGB"))
+    img = np.asarray(img)
+    boxes, conf, _ = predict_yolo(detector_pair, img, box_threshold)
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    conf = np.asarray(conf, np.float32).reshape(-1)
+    queries = [p.strip().lower() for p in caption.split(".") if p.strip()]
+    if not len(boxes) or not queries:
+        return boxes[:0], conf[:0], []
+
+    if captioner is not None:
+        h, w = img.shape[:2]
+        boxes_norm = boxes / np.array([w, h, w, h], np.float32)
+        texts = get_parsed_content_icon(boxes_norm, 0, img, captioner)
+    else:  # no captioner: ground on nothing, keep detector ordering
+        texts = [""] * len(boxes)
+
+    def overlap(text: str, query: str) -> float:
+        t = set(text.lower().split())
+        q = set(query.split())
+        return len(t & q) / len(q) if q else 0.0
+
+    keep_boxes, logits, phrases = [], [], []
+    for i, text in enumerate(texts):
+        scores = [overlap(text, q) for q in queries]
+        j = int(np.argmax(scores))
+        if scores[j] >= text_threshold:
+            keep_boxes.append(boxes[i])
+            logits.append(conf[i] * scores[j])
+            phrases.append(queries[j])
+    return (np.array(keep_boxes, np.float32).reshape(-1, 4),
+            np.array(logits, np.float32), phrases)
+
+
 def get_yolo_model(model_path: Optional[str] = None, variant: str = "n"):
     """Reference: ultralytics YOLO(model_path) (util/utils.py:71-75).
     Returns (Detector, params) — pass as `model=` to get_som_labeled_img."""

@@ -133,3 +133,60 @@ def test_get_parsed_content_icon_compat(rng):
                                    batch_size=2)
     assert caps == ["cap0", "cap1"]  # 2 boxes after starting_idx, one batch of 2
     assert get_parsed_content_icon(boxes[:0], 0, img, StubCaptioner()) == []
+
+
+def test_load_image_legacy(tmp_path, rng):
+    """DINO-style loader (util/utils.py:312-323): shorter side -> 800 px
+    (capped at 1333 on the long side), ImageNet-normalized CHW output."""
+    from PIL import Image
+
+    from omniparser_tpu.compat import load_image
+
+    img = rng.integers(0, 255, (90, 160, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    Image.fromarray(img).save(p)
+    src, transformed = load_image(str(p))
+    np.testing.assert_array_equal(src, img)
+    assert transformed.shape[0] == 3 and transformed.dtype == np.float32
+    # 90x160 -> scale limited by long side: 1333/160 < 800/90
+    c, th, tw = transformed.shape
+    assert tw == 1333 and th == round(90 * 1333 / 160)
+    # a mid-gray pixel normalizes near (0.5-mean)/std
+    gray = Image.fromarray(np.full((100, 100, 3), 128, np.uint8))
+    p2 = tmp_path / "g.png"
+    gray.save(p2)
+    _, t2 = load_image(str(p2))
+    np.testing.assert_allclose(
+        t2[:, 0, 0], (128 / 255 - np.array([0.485, 0.456, 0.406]))
+        / np.array([0.229, 0.224, 0.225]), atol=1e-5)
+
+
+def test_predict_grounded(rng):
+    """Grounded predict (util/utils.py:357-375 signature): boxes from the
+    detector, phrases grounded against the '.'-separated caption query by
+    crop-caption token overlap, logits = conf * similarity."""
+    import jax
+
+    from omniparser_tpu.compat import predict
+    from omniparser_tpu.models.yolov8 import Detector
+
+    det = Detector(variant="n", num_classes=1, imgsz=128, max_det=8)
+    model_pair = (det, det.init_params(jax.random.PRNGKey(0)))
+
+    class FakeCaptioner:
+        """caption_crops protocol: alternating captions."""
+        def caption_crops(self, crops, valid):
+            n = int(np.sum(valid))
+            return ["a save button icon" if i % 2 == 0 else "blue banner"
+                    for i in range(n)]
+
+    img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    model = {"model": model_pair, "processor": FakeCaptioner()}
+    boxes, logits, phrases = predict(model, img, "save button . search bar",
+                                     box_threshold=0.01, text_threshold=0.5)
+    assert boxes.shape[1] == 4 and len(logits) == len(boxes) == len(phrases)
+    assert all(p == "save button" for p in phrases)  # banner boxes filtered
+    assert all(0 <= v <= 1 for v in logits)
+    # text_threshold=1.1 filters everything
+    b2, l2, p2 = predict(model, img, "save button", 0.01, 1.1)
+    assert len(b2) == 0 and len(p2) == 0
