@@ -355,12 +355,14 @@ class JaxOCR:
                         cfg.easyocr_craft_pth, cfg.easyocr_rec_pth
                     )
                 k1, k2 = jax.random.split(jax.random.PRNGKey(42))
-                self.det_params = det_vars or jax.jit(
-                    partial(self.det.init, train=False)
-                )(k1, jnp.zeros((1, 64, 64, 3)))
-                self.rec_params = rec_vars or jax.jit(
-                    partial(self.rec.init, train=False)
-                )(k2, jnp.zeros((1, cfg.rec_height, 64, 1)))
+                # device_put converted trees: host numpy params re-upload
+                # through the tunnel on every dispatch otherwise
+                self.det_params = (jax.device_put(det_vars) if det_vars
+                                   else jax.jit(partial(self.det.init, train=False))(
+                                       k1, jnp.zeros((1, 64, 64, 3))))
+                self.rec_params = (jax.device_put(rec_vars) if rec_vars
+                                   else jax.jit(partial(self.rec.init, train=False))(
+                                       k2, jnp.zeros((1, cfg.rec_height, 64, 1))))
         else:
             self.det = TextDetector()
             self.rec = TextRecognizer()
@@ -389,8 +391,12 @@ class JaxOCR:
                     from omniparser_tpu.weights.convert_yolo import _check_tree_shapes
 
                     _check_tree_shapes(like, restored)
-                    self.det_params = restored["det"]
-                    self.rec_params = restored["rec"]
+                    # device_put ONCE: orbax restores host numpy arrays, and
+                    # leaving them on host makes every dispatch re-upload the
+                    # whole param tree through the tunnel (~100 ms/call on
+                    # axon — measured; this was the #1 latency bug)
+                    self.det_params = jax.device_put(restored["det"])
+                    self.rec_params = jax.device_put(restored["rec"])
         self._det_fn = jax.jit(partial(self.det.apply, train=False))
         self._rec_fn = jax.jit(partial(self.rec.apply, train=False))
         # quantized prob-map download: [0,1] -> uint8 on device, 4x less

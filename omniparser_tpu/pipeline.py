@@ -319,12 +319,15 @@ class SOMPipeline:
         uh, uw = upload.shape[:2]
         hb, wb = pick_bucket_2d(uh, uw)
         padded, _ = pad_to_bucket(upload, hb, wb)
-        return padded, h, w, uh, uw
+        return padded, upload, h, w, uh, uw
 
     def _stage_upload(self, image_rgb: np.ndarray) -> Dict:
-        padded, h, w, uh, uw = self._host_pad(image_rgb)
+        padded, upload, h, w, uh, uw = self._host_pad(image_rgb)
         return {
             "image": image_rgb, "h": h, "w": w, "uh": uh, "uw": uw,
+            # already-downscaled host copy: the SOM canvas resizes from this
+            # instead of the full-res original (finish-stage host time)
+            "upload_img": upload,
             "padded_dev": jnp.asarray(padded),  # single host->device upload
             "orig_hw": jnp.asarray([uh, uw], jnp.int32),
         }
@@ -481,11 +484,18 @@ class SOMPipeline:
         if cfg.max_som_side and max(h, w) > cfg.max_som_side:
             # serving knob: draw on a downscaled copy (cv2 drawing + PNG
             # encode of 4K frames costs 0.1-0.4 s); coordinates stay in the
-            # original frame below, so only overlay pixels are affected
+            # original frame below, so only overlay pixels are affected.
+            # Resize from the already-capped upload copy when it is still
+            # at least som-sized — ~2.5x less host resize work at 4K.
             import cv2
 
-            s = cfg.max_som_side / max(h, w)
-            canvas = cv2.resize(image_rgb, (int(w * s), int(h * s)),
+            src = image_rgb
+            up = ctx.get("upload_img")
+            if up is not None and max(up.shape[:2]) >= cfg.max_som_side:
+                src = up
+            sh, sw = src.shape[:2]
+            s = cfg.max_som_side / max(sh, sw)
+            canvas = cv2.resize(src, (int(sw * s), int(sh * s)),
                                 interpolation=cv2.INTER_AREA)
         ch_, cw_ = canvas.shape[:2]
         ratio = max(ch_, cw_) / cfg.som_base_resolution  # util/omniparser.py:21-27

@@ -171,4 +171,7 @@ def load_blip2_params(path: str):
         import warnings
 
         warnings.warn(f"{len(unmatched)} unmatched blip2 keys, e.g. {unmatched[:5]}")
-    return variables, BLIP2_OPT_2_7B, path
+    import jax
+
+    # device-resident once: host trees re-upload per dispatch (tunnel cost)
+    return jax.device_put(variables), BLIP2_OPT_2_7B, path

@@ -193,7 +193,10 @@ def load_florence_params(path: str):
 
         warnings.warn(f"{len(unmatched)} unmatched florence keys, e.g. {unmatched[:5]}")
     _validate_against_model(variables, BASE)
-    return variables, BASE, path
+    import jax
+
+    # device-resident once: host trees re-upload per dispatch (tunnel cost)
+    return jax.device_put(variables), BASE, path
 
 
 def _validate_against_model(variables, dims) -> None:

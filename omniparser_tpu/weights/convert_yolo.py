@@ -174,7 +174,10 @@ def load_detector_params(path: str, detector) -> Dict[str, Any]:
     converted = convert_yolo_state_dict(sd)
     ref = jax.eval_shape(lambda: detector.init_params(jax.random.PRNGKey(0)))
     _check_tree_shapes(ref, converted)
-    return jax.tree.map(lambda x: np.asarray(x, np.float32), converted)
+    # device_put: host-resident param trees are re-uploaded on EVERY
+    # dispatch (tunnel cost ~100ms/call on axon)
+    return jax.device_put(
+        jax.tree.map(lambda x: np.asarray(x, np.float32), converted))
 
 
 def _check_tree_shapes(ref, got):
