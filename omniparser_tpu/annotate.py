@@ -60,20 +60,48 @@ def _candidate_positions(pad: int, tw: int, th: int, x1: int, y1: int, x2: int):
     yield (x2 - pad - tw, y1 - pad, (x2 - 2 * pad - tw, y1 - 2 * pad - th, x2, y1))  # top right
 
 
+def _iou_max_ratio_any(bg, boxes: np.ndarray, thr: float) -> bool:
+    """True if max(iou, inter/area_bg, inter/area_box) > thr for ANY box —
+    the vectorized twin of _iou_max_ratio (util/box_annotator.py:175-186).
+    boxes: [N,4] float array."""
+    if len(boxes) == 0:
+        return False
+    bx1, by1, bx2, by2 = bg
+    iw = np.minimum(bx2, boxes[:, 2]) - np.maximum(bx1, boxes[:, 0])
+    ih = np.minimum(by2, boxes[:, 3]) - np.maximum(by1, boxes[:, 1])
+    inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+    area_bg = (bx2 - bx1) * (by2 - by1)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = area_bg + areas - inter
+    iou = np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+    both = (area_bg > 0) & (areas > 0)
+    score = np.where(
+        both,
+        np.maximum(iou, np.maximum(inter / max(area_bg, 1e-12),
+                                   inter / np.where(areas > 0, areas, 1.0))),
+        iou,
+    )
+    return bool((score > thr).any())
+
+
 def place_label(
     pad: int, tw: int, th: int, box, all_boxes, image_wh: Tuple[int, int]
 ):
     """Pick the first candidate that avoids detections and stays in-image;
-    fall back to the last candidate (util/box_annotator.py:189-262)."""
+    fall back to the last candidate (util/box_annotator.py:189-262).
+
+    all_boxes may be a [N,4] np array (fast path — the pure-Python pairwise
+    loop was the annotate hot spot at ~100 boxes) or any iterable of xyxy."""
     x1, y1, x2, _ = box
     W, H = image_wh
+    boxes_np = np.asarray(all_boxes, np.float64).reshape(-1, 4)
     last = None
     for tx, ty, bg in _candidate_positions(pad, tw, th, x1, y1, x2):
         last = (tx, ty, bg)
         bx1, by1, bx2, by2 = bg
         if bx1 < 0 or by1 < 0 or bx2 > W or by2 > H:
             continue
-        if any(_iou_max_ratio(bg, d) > _LABEL_IOU_REJECT for d in all_boxes):
+        if _iou_max_ratio_any(bg, boxes_np, _LABEL_IOU_REJECT):
             continue
         return tx, ty, bg
     return last
