@@ -297,8 +297,17 @@ class SOMPipeline:
             self._stage_ocr(ctx)
             self._stage_dispatch(ctx, None, None)
         for ctx in ctxs:
+            # start all device->host copies before any blocking download so
+            # image i+1's transfer streams while the host finishes image i
+            # (the finish stage is pure host work on a 1-core serving box)
+            jax.tree.map(
+                lambda a: a.copy_to_host_async() if hasattr(a, "copy_to_host_async") else None,
+                ctx["out"])
+        results = []
+        for ctx in ctxs:
             ctx["out"] = jax.device_get(ctx["out"])
-        return [self._stage_finish(ctx) for ctx in ctxs]
+            results.append(self._stage_finish(ctx))
+        return results
 
     # ----------------------------- stages ----------------------------- #
 
