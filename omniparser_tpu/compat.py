@@ -256,9 +256,16 @@ def get_caption_model_processor(model_name: str = "florence2",
             return Blip2Captioner(cfg, dims=dims, params=params,
                                   tokenizer=load_tokenizer(tok))
         return Blip2Captioner(cfg)
+    if "phi3" in model_name:  # 'phi3_v' selection, util/utils.py:449-450
+        from omniparser_tpu.models.phi3v import Phi3VCaptioner
+
+        cfg = CaptionerConfig(model_name="phi3_v", backend="phi3v",
+                              max_new_tokens=25)
+        return Phi3VCaptioner(cfg)
     if model_name != "florence2":
         raise NotImplementedError(
-            f"caption model {model_name!r} not implemented (florence2, blip2)"
+            f"caption model {model_name!r} not implemented "
+            "(florence2, blip2, phi3_v)"
         )
     from omniparser_tpu.models.florence2 import FlorenceCaptioner
 
@@ -266,6 +273,19 @@ def get_caption_model_processor(model_name: str = "florence2",
     if model_name_or_path:
         return FlorenceCaptioner.from_checkpoint(model_name_or_path, cfg)
     return FlorenceCaptioner(cfg)
+
+
+def get_parsed_content_icon_phi3v(filtered_boxes, ocr_bbox, image_source,
+                                  caption_model_processor) -> List[str]:
+    """Reference signature (util/utils.py:126-176): caption the non-OCR
+    boxes with a Phi-3-V-class model.  filtered_boxes: [N,4] normalized
+    xyxy; the first len(ocr_bbox) boxes are OCR and skipped; batches of 5,
+    greedy max_new_tokens=25 — all preserved in Phi3VCaptioner."""
+    n_skip = len(ocr_bbox) if ocr_bbox else 0
+    return get_parsed_content_icon(filtered_boxes, n_skip, image_source,
+                                   caption_model_processor,
+                                   batch_size=getattr(
+                                       caption_model_processor, "batch_size", 5))
 
 
 def get_som_labeled_img(

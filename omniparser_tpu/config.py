@@ -46,7 +46,7 @@ class CaptionerConfig:
     """
 
     model_name: str = "florence2"
-    backend: str = "florence"  # 'florence' | 'null' (stub for tests)
+    backend: str = "florence"  # 'florence' | 'blip2' | 'phi3v' | 'null'
     crop_size: int = 64
     batch_size: int = 128
     max_new_tokens: int = 20

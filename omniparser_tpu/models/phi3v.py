@@ -1,0 +1,403 @@
+"""Phi-3-Vision-class captioner in JAX/Flax (TPU-first).
+
+The reference's alternate icon captioner (`get_parsed_content_icon_phi3v`,
+/root/reference/util/utils.py:126-176) drives an HF Phi-3-V: chat-template
+prompt with an <|image_1|> placeholder, LEFT-padded batches of 5, greedy
+decode (`do_sample=False`), `max_new_tokens=25`.  The HF path re-enters
+Python per token; here encode + prefill + the whole greedy loop compile to
+one XLA program (lax.scan over decode steps, static shapes, bf16 matmuls
+on the MXU).
+
+Architecture (phi-3-vision-128k-instruct shapes, configurable):
+  * CLIP-ViT-L/14-class vision tower (pre-LN, quickGELU, class token);
+    features taken from the penultimate layer, class token dropped —
+    matching HF Phi3VImageEmbedding's layer_idx=-2 / patch_feature choice.
+  * 2-layer MLP projector (img_projection: Linear-GELU-Linear).
+  * Phi-3 decoder: RMSNorm, fused qkv_proj, full-dim RoPE, fused
+    gate_up_proj SiLU MLP, untied lm_head.
+
+Weight converter: weights/convert_phi3v.py (HF key map, round-trip
+tested).  No pretrained weights ship in this image, so defaults are
+random-init — same compute, arbitrary text.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from omniparser_tpu.config import CaptionerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class Phi3VDims:
+    # vision tower (CLIP ViT-L/14 @ 336)
+    image_size: int = 336
+    patch_size: int = 14
+    vision_width: int = 1024
+    vision_layers: int = 24
+    vision_heads: int = 16
+    vision_mlp: int = 4096
+    feature_layer: int = -2  # penultimate-layer patch features (HF phi3v)
+    # language model (phi-3-mini)
+    lm_width: int = 3072
+    lm_layers: int = 32
+    lm_heads: int = 32
+    lm_mlp: int = 8192
+    vocab_size: int = 32064
+    max_positions: int = 4096
+    rope_theta: float = 10000.0
+    # special ids (phi-3 tokenizer)
+    pad_token_id: int = 32000
+    eos_token_id: int = 32000  # <|endoftext|>; <|end|> = 32007 also stops
+    end_token_id: int = 32007
+
+
+PHI3V_BASE = Phi3VDims()
+
+TINY_PHI3V = Phi3VDims(
+    image_size=28, patch_size=14, vision_width=16, vision_layers=2,
+    vision_heads=2, vision_mlp=32, lm_width=32, lm_layers=2, lm_heads=4,
+    lm_mlp=64, vocab_size=96, max_positions=128,
+    pad_token_id=93, eos_token_id=94, end_token_id=95,
+)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class ClipAttention(nn.Module):
+    dims: Phi3VDims
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dims
+        h = d.vision_heads
+        hd = d.vision_width // h
+        q = nn.Dense(d.vision_width, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(d.vision_width, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(d.vision_width, dtype=self.dtype, name="v_proj")(x)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], h, hd).transpose(0, 2, 1, 3)
+
+        att = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)) / np.sqrt(hd)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, split(v))
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape)
+        return nn.Dense(d.vision_width, dtype=self.dtype, name="out_proj")(out)
+
+
+class ClipLayer(nn.Module):
+    dims: Phi3VDims
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dims
+        y = nn.LayerNorm(dtype=jnp.float32, name="layer_norm1")(x)
+        x = x + ClipAttention(d, self.dtype, name="self_attn")(y)
+        y = nn.LayerNorm(dtype=jnp.float32, name="layer_norm2")(x)
+        y = nn.Dense(d.vision_mlp, dtype=self.dtype, name="fc1")(y)
+        y = quick_gelu(y)
+        y = nn.Dense(d.vision_width, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
+class ClipViT(nn.Module):
+    """CLIP vision tower; returns patch features (no class token) from the
+    layer selected by dims.feature_layer."""
+
+    dims: Phi3VDims
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        d = self.dims
+        b = pixel_values.shape[0]
+        n_side = d.image_size // d.patch_size
+        x = nn.Conv(d.vision_width, (d.patch_size, d.patch_size),
+                    strides=(d.patch_size, d.patch_size), use_bias=False,
+                    dtype=self.dtype, name="patch_embedding")(
+                        pixel_values.astype(self.dtype))
+        x = x.reshape(b, n_side * n_side, d.vision_width)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (d.vision_width,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, d.vision_width)), x],
+            axis=1)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (1 + n_side * n_side, d.vision_width))
+        x = x + pos.astype(self.dtype)
+        x = nn.LayerNorm(dtype=jnp.float32, name="pre_layrnorm")(x).astype(self.dtype)
+        n_run = d.vision_layers + d.feature_layer + 1  # -2 -> all but last
+        feats = x
+        for i in range(d.vision_layers):
+            feats = ClipLayer(d, self.dtype, name=f"layers_{i}")(feats)
+            if i == n_run - 1:
+                break
+        return feats[:, 1:]  # drop class token: patch features only
+
+
+def rope_tables(positions, head_dim: int, theta: float):
+    """[P] int positions -> (cos, sin) [P, head_dim//2] fp32."""
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2) / head_dim))
+    ang = positions[:, None].astype(jnp.float32) * inv[None, :]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(t, cos, sin):
+    """t: [B, H, P, D]; rotate-half convention (HF Phi-3)."""
+    d2 = t.shape[-1] // 2
+    t1, t2 = t[..., :d2], t[..., d2:]
+    c = cos[None, None].astype(t.dtype)
+    s = sin[None, None].astype(t.dtype)
+    return jnp.concatenate([t1 * c - t2 * s, t2 * c + t1 * s], axis=-1)
+
+
+class Phi3Layer(nn.Module):
+    dims: Phi3VDims
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask, cos, sin, cache=None, cache_index=None):
+        """x: [B, P, D].  mask: [B, 1, P, L] additive.  cache: (k, v) of
+        [B, H, L, hd] updated in place at cache_index when decoding."""
+        d = self.dims
+        h = d.lm_heads
+        hd = d.lm_width // h
+        y = nn.RMSNorm(dtype=jnp.float32, name="input_layernorm")(x).astype(self.dtype)
+        qkv = nn.Dense(3 * d.lm_width, use_bias=False, dtype=self.dtype,
+                       name="qkv_proj")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if cache is not None:
+            ck, cv = cache
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+            k, v = ck, cv
+            cache = (ck, cv)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+        att = att + mask
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], d.lm_width)
+        x = x + nn.Dense(d.lm_width, use_bias=False, dtype=self.dtype,
+                         name="o_proj")(out)
+        y = nn.RMSNorm(dtype=jnp.float32, name="post_attention_layernorm")(x)
+        gu = nn.Dense(2 * d.lm_mlp, use_bias=False, dtype=self.dtype,
+                      name="gate_up_proj")(y.astype(self.dtype))
+        gate, up = jnp.split(gu, 2, axis=-1)
+        y = nn.Dense(d.lm_width, use_bias=False, dtype=self.dtype,
+                     name="down_proj")(jax.nn.silu(gate) * up)
+        return x + y, cache
+
+
+class Phi3V(nn.Module):
+    """Vision tower + projector + decoder with prefill/decode methods."""
+
+    dims: Phi3VDims = PHI3V_BASE
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        d = self.dims
+        self.vision = ClipViT(d, self.dtype)
+        self.proj_1 = nn.Dense(d.lm_width, dtype=self.dtype)
+        self.proj_2 = nn.Dense(d.lm_width, dtype=self.dtype)
+        self.embed_tokens = nn.Embed(d.vocab_size, d.lm_width,
+                                     param_dtype=jnp.float32)
+        self.layers = [Phi3Layer(d, self.dtype, name=f"layers_{i}")
+                       for i in range(d.lm_layers)]
+        self.final_norm = nn.RMSNorm(dtype=jnp.float32)
+        self.lm_head = nn.Dense(d.vocab_size, use_bias=False, dtype=jnp.float32)
+
+    def image_embeds(self, pixel_values):
+        """[B, S, S, 3] -> [B, N_patches, lm_width]."""
+        feats = self.vision(pixel_values)
+        return self.proj_2(nn.gelu(self.proj_1(feats)))
+
+    def __call__(self, pixel_values, prefix_ids, suffix_ids):
+        """Training/eval forward over the full prompt; returns logits."""
+        logits, _ = self.forward_prompt(pixel_values, prefix_ids, suffix_ids,
+                                        cache_len=None)
+        return logits
+
+    def forward_prompt(self, pixel_values, prefix_ids, suffix_ids,
+                       cache_len: Optional[int]):
+        """One pass over prompt tokens; if cache_len is given, k/v land in
+        fixed-size caches for subsequent decode_one steps."""
+        d = self.dims
+        img = self.image_embeds(pixel_values)
+        b = img.shape[0]
+        pre = self.embed_tokens(prefix_ids).astype(self.dtype)
+        suf = self.embed_tokens(suffix_ids).astype(self.dtype)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(pre[None], (b,) + pre.shape), img,
+             jnp.broadcast_to(suf[None], (b,) + suf.shape)], axis=1)
+        p = x.shape[1]
+        hd = d.lm_width // d.lm_heads
+        cos, sin = rope_tables(jnp.arange(p), hd, d.rope_theta)
+        L = cache_len if cache_len is not None else p
+        causal = jnp.tril(jnp.ones((p, p), bool))
+        mask = jnp.full((1, 1, p, L), -1e9, jnp.float32)
+        mask = mask.at[..., :p].set(jnp.where(causal, 0.0, -1e9)[None, None])
+        caches = []
+        for layer in self.layers:
+            if cache_len is not None:
+                ck = jnp.zeros((b, d.lm_heads, L, hd), self.dtype)
+                cv = jnp.zeros((b, d.lm_heads, L, hd), self.dtype)
+                x, cache = layer(x, mask, cos, sin, cache=(ck, cv), cache_index=0)
+                caches.append(cache)
+            else:
+                x, _ = layer(x, mask, cos, sin)
+        logits = self.lm_head(self.final_norm(x))
+        return logits, (caches, p)
+
+    def decode_one(self, token_ids, pos_index, prompt_len, caches):
+        """One greedy step: token_ids [B], pos_index scalar (absolute
+        position), caches updated at pos_index."""
+        d = self.dims
+        x = self.embed_tokens(token_ids[:, None]).astype(self.dtype)
+        hd = d.lm_width // d.lm_heads
+        cos, sin = rope_tables(pos_index[None], hd, d.rope_theta)
+        L = caches[0][0].shape[2]
+        # attend to [0, pos_index]
+        mask = jnp.where(jnp.arange(L)[None, None, None, :] <= pos_index,
+                         0.0, -1e9).astype(jnp.float32)
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, cache = layer(x, mask, cos, sin, cache=cache, cache_index=pos_index)
+            new_caches.append(cache)
+        logits = self.lm_head(self.final_norm(x))[:, 0]
+        return logits, new_caches
+
+
+def phi3v_generate(model: Phi3V, params, pixel_values, prefix_ids, suffix_ids,
+                   max_new_tokens: int = 25):
+    """Greedy generation (do_sample=False, temperature~0 in the reference,
+    utils.py:165-169) as ONE lax.scan — no per-token host dispatch."""
+    d = model.dims
+    n_patches = (d.image_size // d.patch_size) ** 2
+    prompt_len = len(prefix_ids) + n_patches + len(suffix_ids)
+    cache_len = prompt_len + max_new_tokens
+
+    logits, (caches, p) = model.apply(
+        params, pixel_values, jnp.asarray(prefix_ids), jnp.asarray(suffix_ids),
+        cache_len, method=Phi3V.forward_prompt,
+    )
+    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    b = pixel_values.shape[0]
+
+    def step(carry, i):
+        tok, caches, done = carry
+        logits, caches = model.apply(
+            params, tok, p + i, p, caches, method=Phi3V.decode_one)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, d.pad_token_id, nxt)
+        done = done | (nxt == d.eos_token_id) | (nxt == d.end_token_id)
+        return (nxt, caches, done), tok
+
+    done0 = (first == d.eos_token_id) | (first == d.end_token_id)
+    (last, _, _), toks = jax.lax.scan(
+        step, (first, caches, done0), jnp.arange(max_new_tokens - 1))
+    toks = jnp.concatenate([toks.T, last[:, None]], axis=1)  # [B, max_new]
+    return toks
+
+
+# CLIP normalization (HF Phi3VProcessor / CLIPImageProcessor)
+_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+# chat template (utils.py:140-142): user turn with the image placeholder,
+# then the generation prompt
+PROMPT_PREFIX = "<|user|>\n"
+PROMPT_SUFFIX = "\ndescribe the icon in one sentence<|end|>\n<|assistant|>\n"
+
+
+class Phi3VCaptioner:
+    """Pipeline-compatible captioner (caption_crops protocol, like
+    Florence/Blip2).  Reference batch_size=5 left-padded greedy
+    (utils.py:145-176); prompts here are equal-length so padding is moot,
+    but batching in 5s is preserved for memory parity."""
+
+    fusable = False  # own dispatch; decoder-only greedy with image prefix
+
+    def __init__(self, config: CaptionerConfig, dims: Phi3VDims = PHI3V_BASE,
+                 params=None, tokenizer=None, rng: Optional[jax.Array] = None,
+                 batch_size: int = 5):
+        self.config = config
+        self.dims = dims
+        self.batch_size = batch_size
+        self.model = Phi3V(dims=dims)
+        if tokenizer is None:
+            from omniparser_tpu.models.tokenizer import load_tokenizer
+
+            tokenizer = load_tokenizer(None)
+        self.tokenizer = tokenizer
+        enc = lambda s: [t % dims.vocab_size for t in
+                         tokenizer.encode(s, add_special=False)]
+        self.prefix_ids = np.asarray(enc(PROMPT_PREFIX), np.int32)
+        self.suffix_ids = np.asarray(enc(PROMPT_SUFFIX), np.int32)
+        if params is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            params = jax.jit(
+                lambda r: self.model.init(
+                    r,
+                    jnp.zeros((1, dims.image_size, dims.image_size, 3), jnp.float32),
+                    jnp.asarray(self.prefix_ids), jnp.asarray(self.suffix_ids),
+                    None, method=Phi3V.forward_prompt)
+            )(rng)
+        self.params = params
+        max_new = min(config.max_new_tokens, 25) or 25
+        self._generate = jax.jit(
+            lambda p, px: phi3v_generate(
+                self.model, p, px, self.prefix_ids, self.suffix_ids,
+                max_new_tokens=max_new))
+
+    def preprocess(self, crops):
+        s = self.dims.image_size
+        n = crops.shape[0]
+        resized = jax.image.resize(crops.astype(jnp.float32), (n, s, s, 3),
+                                   "bilinear")
+        return ((resized / 255.0) - _MEAN) / _STD
+
+    def tokens_to_text(self, token_row) -> str:
+        d = self.dims
+        ids = []
+        for t in np.asarray(token_row):
+            t = int(t)
+            if t in (d.pad_token_id, d.eos_token_id, d.end_token_id):
+                break
+            ids.append(t)
+        return self.tokenizer.decode(ids).strip("\n").strip()
+
+    def caption_crops(self, crops, valid) -> List[str]:
+        out: List[str] = []
+        n = crops.shape[0]
+        bs = self.batch_size
+        pad_n = -(-n // bs) * bs
+        if pad_n != n:
+            crops = jnp.concatenate(
+                [crops, jnp.zeros((pad_n - n,) + crops.shape[1:], crops.dtype)])
+        toks_all = []
+        for s in range(0, pad_n, bs):
+            toks_all.append(np.asarray(
+                self._generate(self.params, self.preprocess(crops[s:s + bs]))))
+        toks = np.concatenate(toks_all)[:n]
+        for i in range(n):
+            if valid[i]:
+                out.append(self.tokens_to_text(toks[i]))
+        return out

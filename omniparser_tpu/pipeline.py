@@ -215,6 +215,10 @@ class SOMPipeline:
                 from omniparser_tpu.models.blip2 import Blip2Captioner
 
                 captioner = Blip2Captioner(config.captioner)
+            elif backend == "phi3v":
+                from omniparser_tpu.models.phi3v import Phi3VCaptioner
+
+                captioner = Phi3VCaptioner(config.captioner)
             else:
                 from omniparser_tpu.models.florence2 import FlorenceCaptioner
 

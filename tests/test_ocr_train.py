@@ -45,7 +45,8 @@ def test_ocr_models_train_end_to_end(rng):
     rec_vars = rec.init(k2, jnp.zeros((1, 32, 64, 3)), train=False)
 
     imgs = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
-    seg_target = jnp.zeros((2, 8, 8)).at[:, 2:5, 1:7].set(1.0)
+    # detector predicts at 1/2 scale (TextDetector.out_scale=2): 32 -> 16
+    seg_target = jnp.zeros((2, 16, 16)).at[:, 4:10, 2:14].set(1.0)
     lines = jnp.asarray(rng.random((2, 32, 64, 3)), jnp.float32)
     labels = jnp.asarray([[1, 2, 0, 0], [3, 4, 5, 0]], jnp.int32)
 
