@@ -181,9 +181,10 @@ class ShardedParse:
         padded_list = []
         ctxs = []
         for img in images:
-            padded, h, w, uh, uw = self.p._host_pad(img)
+            padded, upload, h, w, uh, uw = self.p._host_pad(img)
             padded_list.append(padded)
-            ctxs.append({"image": img, "h": h, "w": w, "uh": uh, "uw": uw})
+            ctxs.append({"image": img, "upload_img": upload,
+                         "h": h, "w": w, "uh": uh, "uw": uw})
         hb = max(p.shape[0] for p in padded_list)
         wb = max(p.shape[1] for p in padded_list)
         batch = np.zeros((b, hb, wb, 3), np.uint8)
