@@ -127,11 +127,13 @@ class PipelineConfig:
     max_upload_side: Optional[int] = None
 
     # weight sources (None => random init, for tests/benches).
-    # ocr_weights='auto' loads the shipped synthetic-GUI-text OCR checkpoint
-    # when present (models/ocr.default_ocr_weights) — the reference loads
-    # pretrained OCR at import (util/utils.py:20-31); detector/captioner
-    # have no in-image pretrained source, so they stay None.
-    detector_weights: Optional[str] = None
+    # 'auto' loads the shipped synthetic-GUI-trained checkpoints when
+    # present (OCR: models/ocr.default_ocr_weights; detector:
+    # weights/det_synth trained by train/train_detector.py) — the
+    # reference likewise loads pretrained weights at init
+    # (util/utils.py:20-31,47-75).  The captioner has no in-image
+    # pretrained source, so it stays None.
+    detector_weights: Optional[str] = "auto"
     captioner_weights: Optional[str] = None
     ocr_weights: Optional[str] = "auto"
 

@@ -235,6 +235,22 @@ def decode_predictions(level_outputs):
     return jnp.concatenate(boxes_all, axis=1), jnp.concatenate(scores_all, axis=1)
 
 
+def default_detector_weights(config) -> "str | None":
+    """The shipped synthetic-GUI-trained detector checkpoint (orbax dir
+    written by train/train_detector.py), when present and architecture-
+    compatible.  'auto' gives every entry point a functional icon detector
+    by default, mirroring the reference's pretrained icon_detect load
+    (util/utils.py:71-75)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "weights", "det_synth")
+    if (os.path.isdir(path) and config.variant == "n"
+            and config.num_classes == 1):
+        return os.path.abspath(path)
+    return None
+
+
 def snap_imgsz(imgsz, buckets=(640, 960, 1280, 1920)) -> int:
     """Runtime imgsz (reference demo slider 640-1920, gradio_demo.py:68-76)
     -> the smallest static letterbox bucket that covers it.  Static buckets

@@ -26,6 +26,7 @@ with content-less icons sorted last and captioned in order
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -35,7 +36,7 @@ import numpy as np
 
 from omniparser_tpu.annotate import annotate
 from omniparser_tpu.config import PipelineConfig
-from omniparser_tpu.models.yolov8 import Detector
+from omniparser_tpu.models.yolov8 import Detector, default_detector_weights
 from omniparser_tpu.ops.boxes import int_box_area
 from omniparser_tpu.ops.overlap import merge_icons_and_ocr
 from omniparser_tpu.ops.preprocess import (
@@ -199,10 +200,23 @@ class SOMPipeline:
             max_det=config.detector.max_detections,
         )
         if detector_params is None:
-            if config.detector_weights:
+            weights = config.detector_weights
+            if weights == "auto":
+                weights = default_detector_weights(config.detector)
+            if weights and os.path.isdir(weights):
+                # shipped/trained orbax checkpoint ({'det': variables};
+                # train/train_detector.py on synthetic GUI scenes)
+                from omniparser_tpu.weights.checkpoints import load_checkpoint
+
+                like = {"det": jax.tree.map(
+                    np.asarray,
+                    self.detector.init_params(rng or jax.random.PRNGKey(0)))}
+                detector_params = jax.device_put(
+                    load_checkpoint(weights, like=like)["det"])
+            elif weights:  # ultralytics .pt / torch state_dict export
                 from omniparser_tpu.weights.convert_yolo import load_detector_params
 
-                detector_params = load_detector_params(config.detector_weights, self.detector)
+                detector_params = load_detector_params(weights, self.detector)
             else:
                 detector_params = self.detector.init_params(rng or jax.random.PRNGKey(0))
         self.detector_params = detector_params

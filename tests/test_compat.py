@@ -43,7 +43,7 @@ def test_get_caption_model_processor_rejects_unknown():
     from omniparser_tpu.compat import get_caption_model_processor
 
     with pytest.raises(NotImplementedError):
-        get_caption_model_processor("phi3v")
+        get_caption_model_processor("llava")
 
 
 def test_box_format_helpers():
