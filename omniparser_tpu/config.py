@@ -88,6 +88,11 @@ class OcrConfig:
     # compresses lines longer than the aspect budget isotropically)
     rec_max_width: int = 480
     dtype: str = "bfloat16"
+    # run the DBNet-family connected-components postprocess on device
+    # (ops/components.py) and download only per-component boxes (~5 KB)
+    # instead of the probability map (~230 KB + tunnel RTT); semantics
+    # are oracle-identical (tests/test_components.py)
+    device_components: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -280,6 +280,27 @@ def merge_paragraphs(
     return [out_texts[g] for g in order], [out_boxes[g] for g in order]
 
 
+def unclip_component_boxes(
+    comps: List[Tuple[Tuple[int, int, int, int], float]],
+    unclip: float = 2.0,
+    scale: int = 2,
+) -> List[Tuple[List[int], float]]:
+    """Component boxes at det-map scale -> unclipped boxes in map*scale px.
+    The unclip margin inverts the capped shrink used by
+    train/synth_text.shrink_map."""
+    out = []
+    for (x1c, y1c, x2c, y2c), score in comps:
+        w, h = x2c - x1c, y2c - y1c
+        # unclip: expand box by a perimeter-proportional margin
+        margin = (unclip - 1.0) * min(w, h) / 2
+        x1 = int(round((x1c - margin) * scale))
+        y1 = int(round((y1c - margin) * scale))
+        x2 = int(round((x2c + margin) * scale))
+        y2 = int(round((y2c + margin) * scale))
+        out.append(([x1, y1, x2, y2], score))
+    return out
+
+
 def extract_text_boxes(
     prob_map: np.ndarray,
     bin_threshold: float = 0.3,
@@ -290,23 +311,18 @@ def extract_text_boxes(
 ) -> List[Tuple[List[int], float]]:
     """Probability map (det scale) -> [(x1,y1,x2,y2 in map*scale px, score)].
     DBNet-family postprocess: binarize, connected components (native C++
-    hostops when built, cv2 otherwise), expand.  The unclip margin inverts
-    the capped shrink used by train/synth_text.shrink_map."""
+    hostops when built, cv2 otherwise), expand.  The on-device variant of
+    the same postprocess is ops/components.device_components (used when
+    OcrConfig.device_components; oracle-matched in tests)."""
     from omniparser_tpu.utils.hostops import extract_components
 
-    out = []
-    for (x1c, y1c, x2c, y2c), score, _area in extract_components(
-        prob_map, bin_threshold, min_area, min_score
-    ):
-        w, h = x2c - x1c, y2c - y1c
-        # unclip: expand box by a perimeter-proportional margin
-        margin = (unclip - 1.0) * min(w, h) / 2
-        x1 = int(round((x1c - margin) * scale))
-        y1 = int(round((y1c - margin) * scale))
-        x2 = int(round((x2c + margin) * scale))
-        y2 = int(round((y2c + margin) * scale))
-        out.append(([x1, y1, x2, y2], score))
-    return out
+    comps = [
+        (box, score)
+        for box, score, _area in extract_components(
+            prob_map, bin_threshold, min_area, min_score
+        )
+    ]
+    return unclip_component_boxes(comps, unclip, scale)
 
 
 def default_ocr_weights(config: OcrConfig):
@@ -424,6 +440,29 @@ class JaxOCR:
 
         self._det_full = det_full
 
+        # letterbox + det + connected components in ONE graph: downloads
+        # shrink from the ~230 KB prob map to a ~5 KB component list
+        # (ops/components.py; OcrConfig.device_components)
+        from omniparser_tpu.ops.components import (
+            device_components, quantize_u8_parity,
+        )
+
+        max_cc = 1024  # hostops.extract_components default max_out
+
+        @jax.jit
+        def det_cc_full(p, padded, hw):
+            img, _r, _pads = letterbox(padded, hw, imgsz)
+            prob = jnp.clip(self.det.apply(p, img[None], train=False)[0, ..., 0],
+                            0.0, 1.0)
+            # quantize exactly like the uint8 download so both paths
+            # binarize/score identically
+            return device_components(
+                quantize_u8_parity(prob), 0.3, 0.3, min_area=4,
+                max_out=max_cc, pre_cap=max_cc,
+            )
+
+        self._det_cc_full = det_cc_full
+
     def rec_preprocess(self, crops_f255):
         """Traceable: [N,H,W,3] float crops in [0,255] -> recognizer input.
         native: RGB/255; easyocr: grayscale, (x-0.5)/0.5 (easyocr recognition
@@ -439,12 +478,16 @@ class JaxOCR:
         return ids_to_text(np.asarray(ids_row), self.charset)
 
     def dispatch_det(self, padded_dev, orig_hw, hw_host=None):
-        """Async: ONE fused letterbox+det dispatch; returns
-        (uint8 prob map [Hd/s, Wd/s] device future, r, (pad_y, pad_x))
-        without blocking.  The letterbox params are closed-form host math
-        when hw_host=(h, w) is given — fetching them as device scalars
-        would cost an extra tunnel round trip each."""
-        prob_u8 = self._det_full(self.det_params, padded_dev, orig_hw)
+        """Async: ONE fused letterbox+det(+components) dispatch; returns
+        (device future, r, (pad_y, pad_x)) without blocking.  The future
+        is the on-device component dict (OcrConfig.device_components,
+        default) or the uint8 prob map.  The letterbox params are
+        closed-form host math when hw_host=(h, w) is given — fetching
+        them as device scalars would cost an extra tunnel round trip."""
+        if self.config.device_components:
+            fut = self._det_cc_full(self.det_params, padded_dev, orig_hw)
+        else:
+            fut = self._det_full(self.det_params, padded_dev, orig_hw)
         s = self.config.det_imgsz
         if hw_host is None:
             hw = np.asarray(orig_hw)  # blocks; prefer passing hw_host
@@ -452,16 +495,26 @@ class JaxOCR:
         uh, uw = hw_host
         r = min(s / uh, s / uw)
         pads = ((s - uh * r) / 2.0, (s - uw * r) / 2.0)
-        return prob_u8, r, pads
+        return fut, r, pads
 
     def candidates_from_prob(self, prob_np, r, pads, h: int, w: int):
-        """Host half: connected components on the downloaded prob map
-        (float in [0,1] or quantized uint8)."""
+        """Host half: candidate boxes from the det dispatch output —
+        either the on-device component dict (~5 KB download) or a
+        downloaded prob map (float in [0,1] or quantized uint8) run
+        through host connected components."""
         cfg = self.config
-        prob = np.asarray(prob_np)
-        if prob.dtype == np.uint8:
-            prob = prob.astype(np.float32) / 255.0
-        candidates = extract_text_boxes(prob, min_score=0.3)
+        if isinstance(prob_np, dict):  # device_components output
+            cc = jax.device_get(prob_np)
+            n = int(cc["count"])
+            candidates = unclip_component_boxes(
+                [(tuple(int(v) for v in cc["boxes"][i]),
+                  float(cc["scores"][i])) for i in range(n)]
+            )
+        else:
+            prob = np.asarray(prob_np)
+            if prob.dtype == np.uint8:
+                prob = prob.astype(np.float32) / 255.0
+            candidates = extract_text_boxes(prob, min_score=0.3)
         r_f, py, px = float(r), float(pads[0]), float(pads[1])
         boxes_px = []
         for (x1, y1, x2, y2), _score in candidates[: cfg.max_text_boxes]:
