@@ -141,10 +141,25 @@ def _pick_colors(rng: np.random.Generator) -> Tuple[int, int]:
     return bg, fg
 
 
+def _pick_colors_rgb(rng: np.random.Generator):
+    """(bg RGB, fg RGB) matching train/synth_gui.render_gui_scene's text
+    color statistics: panels are arbitrary colors; 70% of text is pure
+    black/white picked against local luminance, 30% random colors with
+    >=70 mean-channel contrast."""
+    bg = rng.integers(0, 256, 3)
+    if rng.random() < 0.7:
+        fg = np.array([0, 0, 0] if bg.mean() > 128 else [255, 255, 255])
+    else:
+        fg = rng.integers(0, 256, 3)
+        while abs(int(fg.mean()) - int(bg.mean())) < 70:
+            fg = rng.integers(0, 256, 3)
+    return tuple(int(c) for c in bg), tuple(int(c) for c in fg)
+
+
 def render_line(
     rng: np.random.Generator,
     text: Optional[str] = None,
-    min_size: int = 11,
+    min_size: int = 10,
     max_size: int = 40,
 ) -> Tuple[np.ndarray, str]:
     """Render one text line -> (RGB uint8 [h,w,3] tight-ish crop, text).
@@ -153,6 +168,12 @@ def render_line(
     margins around the glyphs (extract_text_boxes unclips boxes by
     ~0.4*min_side) and random vertical offset (component boxes are at 1/4
     map resolution, so up to ~4 px of slop at det scale).
+
+    Half the renders are COLORED (random RGB panels/fg like
+    train/synth_gui scenes, including mid-line background changes and
+    stray panel-edge strokes in the margins) — the round-2 e2e quality
+    gate showed a grayscale-only-trained recognizer garbles colored GUI
+    text.
     """
     from PIL import Image, ImageDraw
 
@@ -160,7 +181,11 @@ def render_line(
         text = sample_text(rng)
     size = int(rng.integers(min_size, max_size + 1))
     font = _font(_FONT_FILES[rng.integers(0, len(_FONT_FILES))], size)
-    bg, fg = _pick_colors(rng)
+    colored = rng.random() < 0.5
+    if colored:
+        bg, fg = _pick_colors_rgb(rng)
+    else:
+        bg, fg = _pick_colors(rng)
 
     # measure
     probe = Image.new("L", (8, 8))
@@ -174,8 +199,32 @@ def render_line(
     mt = int(rng.integers(0, max(th * 6 // 10, 2)))
     mb = int(rng.integers(0, max(th * 6 // 10, 2)))
     w, h = tw + ml + mr, th + mt + mb
-    img = Image.new("L", (w, h), bg)
-    ImageDraw.Draw(img).text((ml - x0, mt - y0), text, fill=fg, font=font)
+    img = Image.new("RGB" if colored else "L", (w, h), bg)
+    idraw = ImageDraw.Draw(img)
+    if colored:
+        # panel boundary under part of the line (gui scenes paint text
+        # across panel edges: background color can change mid-line)
+        if rng.random() < 0.3:
+            bg2, _ = _pick_colors_rgb(rng)
+            if rng.random() < 0.7:  # vertical split
+                xs = int(rng.integers(0, w))
+                idraw.rectangle([xs, 0, w, h], fill=bg2)
+            else:
+                ys = int(rng.integers(0, h))
+                idraw.rectangle([0, ys, w, h], fill=bg2)
+        # stray separator / chrome stroke through the unclip margin
+        if rng.random() < 0.25:
+            shade = tuple(int(np.clip(c + rng.integers(-60, 60), 0, 255))
+                          for c in bg)
+            if rng.random() < 0.5:
+                yy = int(rng.integers(0, h))
+                idraw.line([(0, yy), (w, yy)], fill=shade,
+                           width=int(rng.integers(1, 3)))
+            else:
+                xx = int(rng.integers(0, w))
+                idraw.line([(xx, 0), (xx, h)], fill=shade,
+                           width=int(rng.integers(1, 3)))
+    idraw.text((ml - x0, mt - y0), text, fill=fg, font=font)
     arr = np.asarray(img, np.float32)
 
     # photometric augmentation: mild noise / blur (screens are clean)
@@ -186,7 +235,9 @@ def render_line(
 
         arr = cv2.GaussianBlur(arr, (3, 3), rng.uniform(0.3, 0.9))
     arr = np.clip(arr, 0, 255).astype(np.uint8)
-    return np.repeat(arr[:, :, None], 3, axis=2), text
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    return arr, text
 
 
 def render_line_buffers(

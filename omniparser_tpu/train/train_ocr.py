@@ -55,7 +55,8 @@ def build_rec_dataset(n: int, seed: int, chunk: int = 512, cache: bool = True):
     """(crops [n,32,320,3] u8, labels [n,L] i32). Chunked so the jax crop
     transform stays small.  Rendering is single-core-bound (~20 min for
     120k lines); cache to /tmp so retrain iterations skip it."""
-    cache_path = f"/tmp/ocr_rec_data_s{seed}_n{n}_{REC_HW[1]}.npz"
+    # _v2: colored line renders (see synth_text.render_line)
+    cache_path = f"/tmp/ocr_rec_data_s{seed}_n{n}_{REC_HW[1]}_v2.npz"
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         return z["crops"], z["labels"]
@@ -78,10 +79,15 @@ def build_rec_dataset(n: int, seed: int, chunk: int = 512, cache: bool = True):
 def build_det_dataset(n: int, seed: int, size: int = 640, cache: bool = True):
     """(screens [n,S,S,3] u8, maps [n,S/2,S/2] u8 {0,1}).  30% of screens
     are rendered at 1.5-2x and downscaled, matching the letterbox shrink
-    that high-resolution screenshots see at inference (det_imgsz=960 vs 4K)."""
+    that high-resolution screenshots see at inference (det_imgsz=960 vs 4K).
+    Half the screens are COLORED GUI scenes (train/synth_gui.py: panels,
+    icons, colored text) so the text detector is robust off grayscale —
+    the v2 gap found by the end-to-end quality gate."""
     import cv2
 
-    cache_path = f"/tmp/ocr_det_data_s{seed}_n{n}_v2.npz"
+    from omniparser_tpu.train.synth_gui import render_gui_scene
+
+    cache_path = f"/tmp/ocr_det_data_s{seed}_n{n}_v3.npz"
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         return z["screens"], z["maps"]
@@ -90,14 +96,22 @@ def build_det_dataset(n: int, seed: int, size: int = 640, cache: bool = True):
     maps = np.zeros((n, size // 2, size // 2), np.uint8)
     t0 = time.time()
     for i in range(n):
+        def render(sz):
+            if rng.random() < 0.5:  # colored GUI scene; icons are negatives
+                img, _icons, tboxes, _texts = render_gui_scene(
+                    rng, size=sz, max_texts=28)
+                return img, tboxes
+            img, boxes, _ = render_screenshot(rng, sz)
+            return img, boxes
+
         if rng.random() < 0.3:
             big = int(size * rng.uniform(1.5, 2.0))
-            img, boxes, _ = render_screenshot(rng, big)
+            img, boxes = render(big)
             s = size / big
             img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
             boxes = [[int(v * s) for v in b] for b in boxes]
         else:
-            img, boxes, _ = render_screenshot(rng, size)
+            img, boxes = render(size)
         screens[i] = img
         maps[i] = shrink_map(boxes, size)
         if i and i % 200 == 0:
