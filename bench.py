@@ -3,9 +3,13 @@
 Metric: screenshots/sec/chip for the full parse pipeline — letterbox +
 YOLOv8-n detect + on-device NMS + JAX OCR (det+rec) + overlap merge +
 Florence-2-base caption decode + SOM overlay + PNG encode — on the
-reference's demo screenshots.  OCR runs the trained synthetic-GUI-text
-checkpoint when present (omniparser_tpu/weights/ocr_en_synth); detector/
-captioner are random-init (identical compute to the weighted models).
+reference's demo screenshots.  The detector and OCR run the shipped
+synthetic-GUI-trained checkpoints ('auto' defaults); the captioner is
+PINNED to Florence-2-base dims with random init so the measured compute
+class matches the reference's fine-tuned Florence-2-base (the shipped
+functional cap_synth captioner is a reduced-dims model — benching it
+would inflate throughput against the A100 reference point; its quality
+is gated in tests/test_e2e_quality.py instead).
 
 Baselines:
   * vs_baseline uses 1/0.6 = 1.667 screenshots/sec as the A100 reference
@@ -70,6 +74,8 @@ def main():
     )
     if os.path.isdir(ocr_ckpt):
         cfg = dataclasses.replace(cfg, ocr_weights=ocr_ckpt)
+    # Florence-2-base-class captioner compute (see docstring)
+    cfg = dataclasses.replace(cfg, captioner_weights=None)
     pipeline = SOMPipeline(cfg)
     pipeline.parse_batch(imgs)  # warmup: compile every bucket's graphs
 

@@ -134,12 +134,12 @@ class PipelineConfig:
     # weight sources (None => random init, for tests/benches).
     # 'auto' loads the shipped synthetic-GUI-trained checkpoints when
     # present (OCR: models/ocr.default_ocr_weights; detector:
-    # weights/det_synth trained by train/train_detector.py) — the
+    # weights/det_synth trained by train/train_detector.py; captioner:
+    # weights/cap_synth trained by train/train_captioner.py) — the
     # reference likewise loads pretrained weights at init
-    # (util/utils.py:20-31,47-75).  The captioner has no in-image
-    # pretrained source, so it stays None.
+    # (util/utils.py:20-31,47-75).
     detector_weights: Optional[str] = "auto"
-    captioner_weights: Optional[str] = None
+    captioner_weights: Optional[str] = "auto"
     ocr_weights: Optional[str] = "auto"
 
 

@@ -549,6 +549,21 @@ _IMAGE_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGE_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def default_captioner_weights():
+    """The shipped synthetic-GUI-glyph captioner checkpoint
+    (train/train_captioner.py), when present.  Mirrors the detector/OCR
+    'auto' defaults: every entry point gets functional captions without
+    external weights (the reference fetches its fine-tuned icon_caption
+    weights from HF — README.md:39)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "weights", "cap_synth")
+    if os.path.isfile(os.path.join(path, "dims.json")):
+        return os.path.abspath(path)
+    return None
+
+
 class FlorenceCaptioner:
     """Pipeline captioner: batched crops -> greedy captions.
 
@@ -602,6 +617,43 @@ class FlorenceCaptioner:
 
         params, dims, tok_path = load_florence_params(path)
         return cls(config, dims=dims, params=params, tokenizer=load_tokenizer(tok_path))
+
+    @classmethod
+    def from_synth_checkpoint(cls, path: str, config: CaptionerConfig):
+        """Load a first-party trained checkpoint (orbax tree saved by
+        train/train_captioner.py with a dims.json sidecar) — the shipped
+        synthetic-GUI-glyph captioner.  The reference analogue is the HF
+        fine-tuned icon_caption weights (util/utils.py:61-68)."""
+        import json
+        import os
+
+        import numpy as np
+
+        from omniparser_tpu.weights.checkpoints import load_checkpoint
+
+        with open(os.path.join(path, "dims.json")) as f:
+            raw = json.load(f)
+        dims = FlorenceDims(**{
+            k: tuple(v) if isinstance(v, list) else v for k, v in raw.items()
+        })
+        model = Florence2(dims=dims)
+        from omniparser_tpu.models.tokenizer import load_tokenizer
+
+        tokenizer = load_tokenizer(None)
+        prompt = tokenizer.encode(TASK_PROMPTS[config.prompt])
+        like_vars = jax.eval_shape(
+            partial(model.init, jax.random.PRNGKey(0)),
+            jnp.zeros((1, config.crop_size, config.crop_size, 3), jnp.float32),
+            jnp.zeros((1, len(prompt)), jnp.int32),
+            jnp.zeros((1, 1), jnp.int32),
+        )
+        like = {"cap": jax.tree.map(
+            lambda a: np.zeros(a.shape, a.dtype), like_vars)}
+        restored = load_checkpoint(path, like=like)
+        # device-resident ONCE (orbax restores host numpy; host trees
+        # re-upload through the tunnel per dispatch — CLAUDE.md)
+        params = jax.device_put(restored["cap"])
+        return cls(config, dims=dims, params=params, tokenizer=tokenizer)
 
     def preprocess(self, crops_u8: jnp.ndarray) -> jnp.ndarray:
         """[N, S, S, 3] float crops in [0,255] -> CLIP-normalized."""

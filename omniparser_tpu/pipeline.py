@@ -234,11 +234,22 @@ class SOMPipeline:
 
                 captioner = Phi3VCaptioner(config.captioner)
             else:
-                from omniparser_tpu.models.florence2 import FlorenceCaptioner
+                from omniparser_tpu.models.florence2 import (
+                    FlorenceCaptioner,
+                    default_captioner_weights,
+                )
 
-                if config.captioner_weights:
+                cw = config.captioner_weights
+                if cw == "auto":
+                    cw = default_captioner_weights()
+                if cw and os.path.isfile(os.path.join(cw, "dims.json")):
+                    # first-party trained checkpoint (synthetic glyphs)
+                    captioner = FlorenceCaptioner.from_synth_checkpoint(
+                        cw, config.captioner
+                    )
+                elif cw:
                     captioner = FlorenceCaptioner.from_checkpoint(
-                        config.captioner_weights, config.captioner
+                        cw, config.captioner
                     )
                 else:
                     captioner = FlorenceCaptioner(config.captioner)

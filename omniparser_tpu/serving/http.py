@@ -213,8 +213,12 @@ def main(argv=None):
         base,
         detector=dataclasses.replace(base.detector, box_threshold=args.BOX_TRESHOLD),
         ocr=dataclasses.replace(base.ocr, backend=args.ocr_backend),
-        detector_weights=args.som_model_path,
-        captioner_weights=args.caption_model_path,
+        # explicit CLI paths win; otherwise keep the 'auto' defaults so the
+        # server loads the shipped trained checkpoints like every other
+        # entry point (the reference server loads pretrained weights at
+        # init — omniparserserver.py:31-32)
+        detector_weights=args.som_model_path or "auto",
+        captioner_weights=args.caption_model_path or "auto",
         max_som_side=args.max_som_side or None,
     )
     pipeline = None

@@ -36,9 +36,11 @@ def _rand_color(rng, base=None, min_contrast=70):
     return tuple(int(x) for x in c)
 
 
-def _draw_icon(draw, rng, x, y, s, fg, bg) -> None:
-    """One glyph inside the s x s box at (x, y)."""
-    kind = ICON_KINDS[int(rng.integers(0, len(ICON_KINDS)))]
+def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
+    """One glyph inside the s x s box at (x, y).  Returns the kind drawn
+    (captioner training labels — train/train_captioner.py)."""
+    if kind is None:
+        kind = ICON_KINDS[int(rng.integers(0, len(ICON_KINDS)))]
     x2, y2 = x + s, y + s
     m = max(s // 6, 1)  # inner margin
     w = max(s // 10, 1)  # stroke width
@@ -122,15 +124,56 @@ def _draw_icon(draw, rng, x, y, s, fg, bg) -> None:
 
         tile = Image.fromarray(noise).resize((s, s))
         draw._image.paste(tile, (x, y))
+    return kind
+
+
+def render_icon_tile(
+    rng: np.random.Generator, tile: int = 96, kind: str | None = None,
+) -> Tuple[np.ndarray, str, List[int]]:
+    """One icon glyph on a GUI-ish background tile (captioner training).
+
+    Returns (RGB uint8 [tile,tile,3], kind, glyph box xyxy px).  The
+    glyph gets the same size/color statistics as render_gui_scene icons;
+    the surrounding tile leaves room for detector-box jitter when the
+    caller crops.
+    """
+    from PIL import Image, ImageDraw
+
+    base = tuple(int(x) for x in rng.integers(0, 256, 3))
+    img = Image.new("RGB", (tile, tile), base)
+    draw = ImageDraw.Draw(img)
+    # panel edge / separator clutter like real scenes
+    if rng.random() < 0.4:
+        shade = tuple(int(np.clip(c + rng.integers(-60, 60), 0, 255))
+                      for c in base)
+        if rng.random() < 0.5:
+            y = int(rng.integers(0, tile))
+            draw.rectangle([0, y, tile, tile], fill=shade)
+        else:
+            x = int(rng.integers(0, tile))
+            draw.rectangle([x, 0, tile, tile], fill=shade)
+    arr_probe = np.asarray(img)
+    s = int(rng.integers(14, min(57, tile - 4)))
+    x = int(rng.integers(2, tile - s - 1))
+    y = int(rng.integers(2, tile - s - 1))
+    local = tuple(int(c) for c in
+                  arr_probe[y:y + s, x:x + s].reshape(-1, 3).mean(0))
+    fg = _rand_color(rng, local)
+    kind = _draw_icon(draw, rng, x, y, s, fg, local, kind=kind)
+    arr = np.asarray(img, np.float32)
+    if rng.random() < 0.4:
+        arr = arr + rng.normal(0.0, rng.uniform(1.0, 5.0), arr.shape)
+    return np.clip(arr, 0, 255).astype(np.uint8), kind, [x, y, x + s, y + s]
 
 
 def render_gui_scene(
     rng: np.random.Generator, size: int = 640, max_icons: int = 48,
-    max_texts: int = 20,
+    max_texts: int = 20, return_kinds: bool = False,
 ) -> Tuple[np.ndarray, List[List[int]], List[List[int]], List[str]]:
     """A colored GUI-like screen.
 
-    Returns (RGB uint8 [size,size,3], icon boxes xyxy px, text boxes, texts).
+    Returns (RGB uint8 [size,size,3], icon boxes xyxy px, text boxes, texts)
+    — plus the per-icon glyph kinds when return_kinds (captioner e2e gate).
     Icon boxes are the detector GT; text lines are negatives (the reference
     detector boxes icons, OCR owns text).
     """
@@ -195,6 +238,7 @@ def render_gui_scene(
 
     # icons (detector positives)
     icon_boxes: List[List[int]] = []
+    kinds: List[str] = []
     for _ in range(int(rng.integers(max_icons // 2, max_icons + 1))):
         s = int(rng.integers(14, 56))
         x = int(rng.integers(1, size - s - 1))
@@ -204,11 +248,14 @@ def render_gui_scene(
         local = tuple(int(c) for c in
                       arr_probe[y:y + s, x:x + s].reshape(-1, 3).mean(0))
         fg = _rand_color(rng, local)
-        _draw_icon(draw, rng, x, y, s, fg, local)
+        kinds.append(_draw_icon(draw, rng, x, y, s, fg, local))
         claim(x, y, s, s)
         icon_boxes.append([x, y, x + s, y + s])
 
     arr = np.asarray(canvas, np.float32)
     if rng.random() < 0.4:
         arr = arr + rng.normal(0.0, rng.uniform(1.0, 5.0), arr.shape)
-    return np.clip(arr, 0, 255).astype(np.uint8), icon_boxes, text_boxes, texts
+    out = np.clip(arr, 0, 255).astype(np.uint8)
+    if return_kinds:
+        return out, icon_boxes, text_boxes, texts, kinds
+    return out, icon_boxes, text_boxes, texts

@@ -16,6 +16,8 @@ DET = os.path.join(os.path.dirname(__file__), "..",
                    "omniparser_tpu", "weights", "det_synth")
 OCR = os.path.join(os.path.dirname(__file__), "..",
                    "omniparser_tpu", "weights", "ocr_en_synth")
+CAP = os.path.join(os.path.dirname(__file__), "..",
+                   "omniparser_tpu", "weights", "cap_synth")
 
 
 def _iou(a, b):
@@ -45,16 +47,27 @@ def test_full_parse_recovers_synthetic_scene():
     rng = np.random.default_rng(777001)
     icon_recall_n = icon_recall_d = 0
     text_hits = text_total = 0
+    cap_hits = cap_total = 0
     for _ in range(2):
-        img, gt_icons, gt_text_boxes, gt_texts = render_gui_scene(rng, size=640)
+        img, gt_icons, gt_text_boxes, gt_texts, gt_kinds = render_gui_scene(
+            rng, size=640, return_kinds=True)
         _, _, elements = p.parse_image(img)
-        pred_icons = [[c * 640 for c in e["bbox"]] for e in elements
+        icon_elems = [([c * 640 for c in e["bbox"]], e) for e in elements
                       if e["type"] == "icon"]
-        # icon recall @ IoU 0.5
-        for g in gt_icons:
+        pred_icons = [b for b, _ in icon_elems]
+        # icon recall @ IoU 0.5; captioned matches must name the glyph
+        # (shipped cap_synth captioner, train/train_captioner.CAPTIONS)
+        for g, kind in zip(gt_icons, gt_kinds):
             icon_recall_d += 1
-            if any(_iou(g, pb) >= 0.5 for pb in pred_icons):
+            match = [e for b, e in icon_elems if _iou(g, b) >= 0.5]
+            if match:
                 icon_recall_n += 1
+                e = match[0]
+                if os.path.isdir(CAP) and e["source"] == "box_yolo_content_yolo":
+                    from omniparser_tpu.train.train_captioner import CAPTIONS
+
+                    cap_total += 1
+                    cap_hits += (e["content"] or "") == CAPTIONS[kind]
         # text recovery: each GT line should appear (fuzzily) in some text
         # element; OCR was trained to ~char level on this distribution
         parsed_texts = " | ".join(
@@ -77,3 +90,6 @@ def test_full_parse_recovers_synthetic_scene():
     text_recall = text_hits / max(text_total, 1)
     assert icon_recall >= 0.75, (icon_recall, icon_recall_d)
     assert text_recall >= 0.5, (text_recall, text_total)
+    if cap_total:
+        cap_acc = cap_hits / cap_total
+        assert cap_acc >= 0.5, (cap_acc, cap_total)
