@@ -104,7 +104,22 @@ def main():
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, 100e12)
     mfu = flops["total"] / (p50 * peak) if flops["total"] else 0.0
     timings = pipeline.last_timings
-    device_share = timings.get("device_step", 0.0) / max(sum(timings.values()), 1e-9)
+    # device time = fused step + the OCR det+components dispatch (both are
+    # device work; the ocr_detect stage timer also contains the upload
+    # drain, so measure the det dispatch alone, blocking)
+    det_ms = []
+    if pipeline._jax_ocr is not None:
+        ctx = pipeline._stage_upload(imgs[0])
+        jax.block_until_ready(ctx["padded_dev"])
+        for _ in range(5):
+            t = time.perf_counter()
+            fut, _r, _p = pipeline._jax_ocr.dispatch_det(
+                ctx["padded_dev"], ctx["orig_hw"], hw_host=(ctx["uh"], ctx["uw"]))
+            jax.block_until_ready(fut)
+            det_ms.append(time.perf_counter() - t)
+    det_step = float(np.median(det_ms)) if det_ms else 0.0
+    device_share = (timings.get("device_step", 0.0) + det_step) / max(
+        sum(timings.values()), 1e-9)
 
     print(
         json.dumps(
@@ -119,6 +134,7 @@ def main():
                 "mfu": round(mfu, 6),
                 "device_flops_per_parse": flops["total"],
                 "device_time_share": round(device_share, 4),
+                "ocr_det_step_s": round(det_step, 4),
                 "ocr_weights": bool(cfg.ocr_weights),
                 "stage_timings_s": {k: round(v, 4) for k, v in timings.items()},
             }
