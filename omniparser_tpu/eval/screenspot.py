@@ -122,10 +122,12 @@ def run_eval(model: ScreenSpotModel, dataset: List[Dict], log_path: Optional[str
     'group'}.  Returns score_records output; writes a JSONL log like the
     reference's eval/logs_sspro_omniv2.json."""
     records = []
-    for row in dataset:
+    for i, row in enumerate(dataset):
         res = model.ground_only_positive(row["instruction"], row["img_path"])
         rec = {
-            "img_path": row["img_path"],
+            # in-memory images (eval/synth_bench.py) log as placeholders
+            "img_path": (row["img_path"] if isinstance(row["img_path"], str)
+                         else f"<in-memory image {i}>"),
             "group": row.get("group", "all"),
             "instruction": row["instruction"],
             "pred": res["point"],

@@ -147,6 +147,8 @@ def test_mesh_served_matches_single_path(rng):
         detector=DetectorConfig(default_imgsz=128, max_detections=16),
         captioner=CaptionerConfig(batch_size=8, crop_size=32, max_new_tokens=4),
         ocr=OcrConfig(backend="null"),
+        # graph-parity test: pin random-init (see test_sharded_parse)
+        detector_weights=None,
     )
     inner = SOMPipeline(cfg, captioner=FlorenceCaptioner(cfg.captioner, dims=TINY))
     served = ShardedServingPipeline(inner, make_mesh(dp=4, tp=2))
@@ -178,7 +180,12 @@ def test_mesh_served_matches_single_path(rng):
             assert elements is not None, "a POST failed"
             assert len(elements) == len(want)
             for a, b in zip(elements, want):
-                np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-5)
+                # the micro-batcher forms timing-dependent batch sizes; each
+                # padded batch compiles its own graph and bf16 vmap fusion
+                # reorders reductions => ~1e-5-level bbox noise (same class
+                # as test_sharded_parse's detect tolerance).  1e-4 in ratio
+                # units is 0.01 px on the 100 px test frame.
+                np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-4)
                 assert a["content"] == b["content"] and a["source"] == b["source"]
     finally:
         httpd.shutdown()

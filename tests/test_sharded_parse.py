@@ -23,6 +23,11 @@ def pipeline():
         detector=DetectorConfig(default_imgsz=128, max_detections=16),
         captioner=CaptionerConfig(batch_size=8, crop_size=32, max_new_tokens=4),
         ocr=OcrConfig(backend="null"),
+        # random-init seed-0: this test pins sharded-vs-single GRAPH
+        # parity at tight tolerance; the trained det_synth checkpoint's
+        # DFL decode amplifies bf16 batching noise on noise images
+        # (like test_golden, which also pins None)
+        detector_weights=None,
     )
     cap = FlorenceCaptioner(cfg.captioner, dims=TINY)
     return SOMPipeline(cfg, captioner=cap)
