@@ -60,13 +60,15 @@ def main():
         if os.path.exists(f"/root/reference/imgs/{n}")
     ]
 
-    # Serving configuration: max_upload_side=2048 caps the host->device
+    # Serving configuration: max_upload_side=1920 caps the host->device
     # transfer (the dominant cost on this tunneled TPU; bandwidth swings
-    # 85-220 MB/s); max_som_side=1920 caps overlay drawing + PNG encode
-    # (0.1-0.4 s at 4K).  Detection runs at <=1280px regardless; element
-    # counts on the reference images match the full-res path to within 1-2.
+    # 85-220 MB/s) AND makes the upload copy double as the SOM canvas
+    # (max_som_side equal => the overlay stage skips its cv2.resize — the
+    # host resize was ~50 ms/frame at 4K on the 1-core host).  Detection
+    # runs at <=1280px regardless; element counts on the reference images
+    # match the full-res path to within 1-2.
     cfg = dataclasses.replace(
-        PipelineConfig(), max_upload_side=2048, max_som_side=1920,
+        PipelineConfig(), max_upload_side=1920, max_som_side=1920,
     )
     ocr_ckpt = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

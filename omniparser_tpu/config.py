@@ -131,6 +131,14 @@ class PipelineConfig:
     # only crop/OCR fidelity is affected.
     max_upload_side: Optional[int] = None
 
+    # crop-gather implementation inside the fused step: 'gather' (XLA
+    # bilinear gather, default) or 'mxu' (ops/mxu_crop — one-hot
+    # interpolation matmuls over a row band; bitwise-identical output).
+    # 'mxu' moves the crop FLOPs onto the systolic array and wins where
+    # the MXU is not virtualization-capped; on the tunneled dev chip the
+    # gather path measured faster (see PERF.md), hence the default.
+    crop_impl: str = "gather"
+
     # weight sources (None => random init, for tests/benches).
     # 'auto' loads the shipped synthetic-GUI-trained checkpoints when
     # present (OCR: models/ocr.default_ocr_weights; detector:

@@ -132,33 +132,41 @@ def crop_resize_batch(
     Returns float32 patches in [0,255] (caller normalizes per model).
     """
     out_h, out_w = (out_size, out_size) if isinstance(out_size, int) else out_size
-    h = orig_hw[0].astype(jnp.float32)
-    w = orig_hw[1].astype(jnp.float32)
     img = padded_u8.astype(jnp.float32)
     img_h, img_w = padded_u8.shape[0], padded_u8.shape[1]
+    xs, ys = jax.vmap(
+        lambda b: resize_grid(b, orig_hw, (out_h, out_w)))(boxes_norm)
+    return jax.vmap(
+        lambda x, y: _bilinear_gather(img, x, y, img_h, img_w))(xs, ys)
 
-    def one(box):
-        x1 = jnp.trunc(box[0] * w)
-        y1 = jnp.trunc(box[1] * h)
-        x2 = jnp.trunc(box[2] * w)
-        y2 = jnp.trunc(box[3] * h)
-        cw = jnp.maximum(x2 - x1, 1.0)
-        ch = jnp.maximum(y2 - y1, 1.0)
-        # cv2.resize half-pixel centers: src = (dst + 0.5) * (crop/out) - 0.5.
-        # Clamp relative coords to [0, cw-1] BEFORE the x1 shift: for
-        # degenerate boxes (trunc width < 1, cw clamped to 1) a clip bound of
-        # x2-1 < x1 would sample outside the box (and diverge from
-        # pallas_crop's sampling).
-        js = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (cw / out_w) - 0.5
-        is_ = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (ch / out_h) - 0.5
-        xs = x1 + jnp.clip(js, 0.0, jnp.maximum(cw - 1.0, 0.0))
-        ys = y1 + jnp.clip(is_, 0.0, jnp.maximum(ch - 1.0, 0.0))
-        # also clamp into the valid (unpadded) image region
-        xs = jnp.clip(xs, 0.0, w - 1.0)
-        ys = jnp.clip(ys, 0.0, h - 1.0)
-        return _bilinear_gather(img, xs, ys, img_h, img_w)
 
-    return jax.vmap(one)(boxes_norm)
+def resize_grid(box, orig_hw, out_hw):
+    """Anisotropic-stretch sample grid for one normalized box: returns
+    (xs [out_w], ys [out_h]) source pixel centers.  Shared between the
+    gather path above and ops/mxu_crop's matmul path so both sample
+    identically."""
+    out_h, out_w = out_hw
+    h = orig_hw[0].astype(jnp.float32)
+    w = orig_hw[1].astype(jnp.float32)
+    x1 = jnp.trunc(box[0] * w)
+    y1 = jnp.trunc(box[1] * h)
+    x2 = jnp.trunc(box[2] * w)
+    y2 = jnp.trunc(box[3] * h)
+    cw = jnp.maximum(x2 - x1, 1.0)
+    ch = jnp.maximum(y2 - y1, 1.0)
+    # cv2.resize half-pixel centers: src = (dst + 0.5) * (crop/out) - 0.5.
+    # Clamp relative coords to [0, cw-1] BEFORE the x1 shift: for
+    # degenerate boxes (trunc width < 1, cw clamped to 1) a clip bound of
+    # x2-1 < x1 would sample outside the box (and diverge from
+    # pallas_crop's sampling).
+    js = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (cw / out_w) - 0.5
+    is_ = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (ch / out_h) - 0.5
+    xs = x1 + jnp.clip(js, 0.0, jnp.maximum(cw - 1.0, 0.0))
+    ys = y1 + jnp.clip(is_, 0.0, jnp.maximum(ch - 1.0, 0.0))
+    # also clamp into the valid (unpadded) image region
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    return xs, ys
 
 
 def _bilinear_gather(img, xs, ys, img_h, img_w):
@@ -198,27 +206,33 @@ def crop_lines_batch(
     (reference util/utils.py:504-540 feeds full-resolution sub-images).
     """
     out_h, out_w = out_hw
-    h = orig_hw[0].astype(jnp.float32)
-    w = orig_hw[1].astype(jnp.float32)
     img = padded_u8.astype(jnp.float32)
     img_h, img_w = padded_u8.shape[0], padded_u8.shape[1]
+    xs, ys = jax.vmap(
+        lambda b: line_grid(b, orig_hw, (out_h, out_w)))(boxes_norm)
+    return jax.vmap(
+        lambda x, y: _bilinear_gather(img, x, y, img_h, img_w))(xs, ys)
 
-    def one(box):
-        x1 = jnp.trunc(box[0] * w)
-        y1 = jnp.trunc(box[1] * h)
-        x2 = jnp.trunc(box[2] * w)
-        y2 = jnp.trunc(box[3] * h)
-        cw = jnp.maximum(x2 - x1, 1.0)
-        ch = jnp.maximum(y2 - y1, 1.0)
-        s = jnp.maximum(ch / out_h, cw / out_w)
-        # vertical: centre the ch/s used rows inside out_h
-        off_y = (out_h - ch / s) / 2.0
-        is_ = ((jnp.arange(out_h, dtype=jnp.float32) - off_y) + 0.5) * s - 0.5
-        js = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * s - 0.5
-        ys = y1 + jnp.clip(is_, 0.0, jnp.maximum(ch - 1.0, 0.0))
-        xs = x1 + jnp.clip(js, 0.0, jnp.maximum(cw - 1.0, 0.0))
-        xs = jnp.clip(xs, 0.0, w - 1.0)
-        ys = jnp.clip(ys, 0.0, h - 1.0)
-        return _bilinear_gather(img, xs, ys, img_h, img_w)
 
-    return jax.vmap(one)(boxes_norm)
+def line_grid(box, orig_hw, out_hw):
+    """Isotropic line-crop sample grid for one normalized box: returns
+    (xs [out_w], ys [out_h]).  Shared with ops/mxu_crop (see resize_grid)."""
+    out_h, out_w = out_hw
+    h = orig_hw[0].astype(jnp.float32)
+    w = orig_hw[1].astype(jnp.float32)
+    x1 = jnp.trunc(box[0] * w)
+    y1 = jnp.trunc(box[1] * h)
+    x2 = jnp.trunc(box[2] * w)
+    y2 = jnp.trunc(box[3] * h)
+    cw = jnp.maximum(x2 - x1, 1.0)
+    ch = jnp.maximum(y2 - y1, 1.0)
+    s = jnp.maximum(ch / out_h, cw / out_w)
+    # vertical: centre the ch/s used rows inside out_h
+    off_y = (out_h - ch / s) / 2.0
+    is_ = ((jnp.arange(out_h, dtype=jnp.float32) - off_y) + 0.5) * s - 0.5
+    js = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * s - 0.5
+    ys = y1 + jnp.clip(is_, 0.0, jnp.maximum(ch - 1.0, 0.0))
+    xs = x1 + jnp.clip(js, 0.0, jnp.maximum(cw - 1.0, 0.0))
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    return xs, ys

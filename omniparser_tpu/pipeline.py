@@ -96,6 +96,14 @@ class FusedParseStep:
         rec_hw = (cfg.ocr.rec_height, cfg.ocr.rec_max_width)
         K = self.K
         crop_size = cfg.captioner.crop_size
+        if cfg.crop_impl == "mxu":
+            from omniparser_tpu.ops.mxu_crop import crop_lines_mxu, crop_resize_mxu
+
+            crop_lines = crop_lines_mxu
+            crop_resize = crop_resize_mxu
+        else:
+            crop_lines = crop_lines_batch
+            crop_resize = crop_resize_batch
         if do_cap:
             from omniparser_tpu.models.florence2 import greedy_generate
 
@@ -122,7 +130,7 @@ class FusedParseStep:
             det_valid = det_valid & (int_box_area(det_boxes, w, h) > 0)
 
             if do_rec:
-                line_crops = crop_lines_batch(padded, hw, ocr_boxes_norm, rec_hw)
+                line_crops = crop_lines(padded, hw, ocr_boxes_norm, rec_hw)
                 from omniparser_tpu.models.ocr import ctc_device_stats
 
                 logits = rec.apply(rec_vars, rec_pre(line_crops), train=False)
@@ -162,7 +170,7 @@ class FusedParseStep:
                 cap_src = jnp.full((K,), -1, jnp.int32).at[dest].set(
                     jnp.arange(n, dtype=jnp.int32), mode="drop"
                 )
-                crops = crop_resize_batch(padded, hw, cap_boxes, crop_size)
+                crops = crop_resize(padded, hw, cap_boxes, crop_size)
                 tokens = greedy_generate(
                     florence, cap_vars, preprocess(crops), prompt_k, max_new
                 )
@@ -533,8 +541,14 @@ class SOMPipeline:
                 src = up
             sh, sw = src.shape[:2]
             s = cfg.max_som_side / max(sh, sw)
-            canvas = cv2.resize(src, (int(sw * s), int(sh * s)),
-                                interpolation=cv2.INTER_AREA)
+            if s < 1.0:
+                canvas = cv2.resize(src, (int(sw * s), int(sh * s)),
+                                    interpolation=cv2.INTER_AREA)
+            else:
+                # upload copy is already at/below the SOM cap — it IS the
+                # canvas (set max_upload_side == max_som_side in serving
+                # configs to skip this resize entirely)
+                canvas = src
         ch_, cw_ = canvas.shape[:2]
         ratio = max(ch_, cw_) / cfg.som_base_resolution  # util/omniparser.py:21-27
         style = {

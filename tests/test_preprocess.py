@@ -109,3 +109,32 @@ def test_crop_resize_degenerate_box(rng):
         P.crop_resize_batch(jnp.asarray(padded), jnp.asarray([64, 64]), jnp.asarray(boxes), 32)
     )
     assert np.isfinite(got).all()
+
+
+def test_mxu_crop_matches_gather(rng):
+    # ops/mxu_crop reformulates the bilinear crop as one-hot matmuls; the
+    # taps are exact in bf16 and the combine shares _bilinear_gather's
+    # expression tree, so outputs must be bitwise-equal to the gather path
+    from omniparser_tpu.ops import mxu_crop as M
+
+    img = _rand_image(rng, 200, 300)
+    padded, _ = P.pad_to_bucket(img, 256, 320)
+    hw = jnp.asarray([200, 300])
+    boxes = jnp.asarray(
+        [
+            [0.1, 0.1, 0.5, 0.6],
+            [0.0, 0.0, 0.3, 0.2],
+            [0.55, 0.3, 0.95, 0.9],
+            [0.5, 0.5, 0.5, 0.5],   # degenerate
+            [0.02, 0.01, 0.98, 0.99],  # taller than LINE_BAND -> fallback
+        ],
+        jnp.float32,
+    )
+    pj = jnp.asarray(padded)
+    ref = np.asarray(P.crop_resize_batch(pj, hw, boxes, 64))
+    got = np.asarray(M.crop_resize_mxu(pj, hw, boxes, 64))
+    np.testing.assert_array_equal(got, ref)
+
+    ref_l = np.asarray(P.crop_lines_batch(pj, hw, boxes, (32, 160)))
+    got_l = np.asarray(M.crop_lines_mxu(pj, hw, boxes, (32, 160), band_h=64))
+    np.testing.assert_array_equal(got_l, ref_l)
