@@ -52,6 +52,12 @@ class CaptionerConfig:
     max_new_tokens: int = 20
     prompt: str = "<CAPTION>"
     dtype: str = "bfloat16"
+    # 'int8' = weight-only quantized decoder + LM head/embedding table
+    # (models/quant.py): -31% resident captioner memory, latency-neutral
+    # on the dev chip (see PERF.md); greedy captions gate-tested to match
+    # the fp path on the shipped checkpoint.  'none' = fp (reference
+    # parity; util/utils.py:61-68 runs fp16/fp32, never quantized).
+    quant: str = "none"
     # model dims (florence-2-base); overridden by loaded checkpoints
     d_model: int = 768
     encoder_layers: int = 6

@@ -278,12 +278,19 @@ class BartAttention(nn.Module):
     d_model: int
     heads: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False  # int8 weight-only projections (models/quant.py)
 
     def setup(self):
-        self.q_proj = nn.Dense(self.d_model, dtype=self.dtype)
-        self.k_proj = nn.Dense(self.d_model, dtype=self.dtype)
-        self.v_proj = nn.Dense(self.d_model, dtype=self.dtype)
-        self.out_proj = nn.Dense(self.d_model, dtype=self.dtype)
+        if self.quant:
+            from omniparser_tpu.models.quant import QDense
+
+            dense = partial(QDense, dtype=self.dtype)
+        else:
+            dense = partial(nn.Dense, dtype=self.dtype)
+        self.q_proj = dense(self.d_model)
+        self.k_proj = dense(self.d_model)
+        self.v_proj = dense(self.d_model)
+        self.out_proj = dense(self.d_model)
 
     def _split(self, t):
         hd = self.d_model // self.heads
@@ -338,15 +345,24 @@ class BartEncoderLayer(nn.Module):
 class BartDecoderLayer(nn.Module):
     dims: FlorenceDims
     dtype: Any = jnp.bfloat16
+    quant: bool = False  # int8 weight-only decode matmuls (models/quant.py)
 
     def setup(self):
         d = self.dims
-        self.self_attn = BartAttention(d.d_model, d.attn_heads, self.dtype)
+        if self.quant:
+            from omniparser_tpu.models.quant import QDense
+
+            dense = partial(QDense, dtype=self.dtype)
+        else:
+            dense = partial(nn.Dense, dtype=self.dtype)
+        self.self_attn = BartAttention(d.d_model, d.attn_heads, self.dtype,
+                                       quant=self.quant)
         self.self_attn_layer_norm = nn.LayerNorm(dtype=jnp.float32)
-        self.encoder_attn = BartAttention(d.d_model, d.attn_heads, self.dtype)
+        self.encoder_attn = BartAttention(d.d_model, d.attn_heads, self.dtype,
+                                          quant=self.quant)
         self.encoder_attn_layer_norm = nn.LayerNorm(dtype=jnp.float32)
-        self.fc1 = nn.Dense(d.ffn_dim, dtype=self.dtype)
-        self.fc2 = nn.Dense(d.d_model, dtype=self.dtype)
+        self.fc1 = dense(d.ffn_dim)
+        self.fc2 = dense(d.d_model)
         self.final_layer_norm = nn.LayerNorm(dtype=jnp.float32)
 
     def cross_kv(self, enc):
@@ -371,10 +387,18 @@ class Florence2LM(nn.Module):
 
     dims: FlorenceDims = BASE
     dtype: Any = jnp.bfloat16
+    # int8 weight-only decoder + LM head (models/quant.py). The encoder
+    # runs once per generate (compute-bound); the decoder re-reads its
+    # weights max_new_tokens times (bandwidth-bound) — quantize only it.
+    quant: bool = False
 
     def setup(self):
         d = self.dims
-        self.shared = nn.Embed(d.vocab_size, d.d_model, dtype=self.dtype, name="shared")
+        if not self.quant:
+            # quant mode drops the fp32 table entirely: lookups and the LM
+            # head both read the int8 lm_head_kernel (per-row scales)
+            self.shared = nn.Embed(d.vocab_size, d.d_model, dtype=self.dtype,
+                                   name="shared")
         # BART's learned positions start at offset 2
         self.enc_pos = nn.Embed(d.max_positions + 2, d.d_model, dtype=self.dtype,
                                 name="encoder_embed_positions")
@@ -387,12 +411,24 @@ class Florence2LM(nn.Module):
             for i in range(d.encoder_layers)
         ]
         self.dec_layers = [
-            BartDecoderLayer(d, self.dtype, name=f"decoder_layer{i}")
+            BartDecoderLayer(d, self.dtype, quant=self.quant,
+                             name=f"decoder_layer{i}")
             for i in range(d.decoder_layers)
         ]
         self.final_logits_bias = self.param(
             "final_logits_bias", nn.initializers.zeros, (d.vocab_size,)
         )
+        if self.quant:
+            # untied int8 LM head, materialized from the shared embedding
+            # by quantize_florence_params (per-vocab-row scales)
+            self.lm_head_kernel = self.param(
+                "lm_head_kernel", nn.initializers.zeros,
+                (d.vocab_size, d.d_model), jnp.int8,
+            )
+            self.lm_head_scale = self.param(
+                "lm_head_scale", nn.initializers.ones,
+                (d.vocab_size,), jnp.float32,
+            )
 
     def encode(self, inputs_embeds, attn_mask):
         """inputs_embeds: [B, S, D] (image features ++ token embeds);
@@ -407,12 +443,29 @@ class Florence2LM(nn.Module):
 
     def embed_tokens(self, ids):
         # BART scale_embedding=False for florence-2 language config
+        if self.quant:
+            # int8 row gather + per-row dequant (reads B rows, not the table)
+            rows = jnp.take(self.lm_head_kernel, ids, axis=0).astype(self.dtype)
+            return rows * jnp.take(self.lm_head_scale, ids)[..., None].astype(self.dtype)
         return self.shared(ids)
 
     def cross_kvs(self, enc):
         """Per-layer precomputed cross-attention (k, v) — compute once per
         generate call, not once per decode step."""
         return [layer.cross_kv(enc) for layer in self.dec_layers]
+
+    def _logits(self, h):
+        """Hidden states -> vocab logits (tied fp head, or the int8 head
+        when quant: HBM reads the int8 table; fp32 accumulation)."""
+        if self.quant:
+            logits = jnp.einsum(
+                "bqd,vd->bqv", h.astype(self.dtype),
+                self.lm_head_kernel.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return logits * self.lm_head_scale + self.final_logits_bias
+        logits = h.astype(jnp.float32) @ self.shared.embedding.T.astype(jnp.float32)
+        return logits + self.final_logits_bias
 
     def decode_step(self, token_ids, step, enc_mask, caches, cross_kvs):
         """One greedy step: token_ids [B,1] at position `step`.
@@ -430,8 +483,7 @@ class Florence2LM(nn.Module):
             h, cache = layer(h, None, self_mask, cross_mask,
                              cache=cache, cache_index=step, cross_kv=ckv)
             new_caches.append(cache)
-        logits = h.astype(jnp.float32) @ self.shared.embedding.T.astype(jnp.float32)
-        return logits + self.final_logits_bias, new_caches
+        return self._logits(h), new_caches
 
     def decode_train(self, token_ids, enc, enc_mask):
         """Teacher-forced decode (training / tests): token_ids [B, T]."""
@@ -442,8 +494,7 @@ class Florence2LM(nn.Module):
         cross = enc_mask[:, None, None, :]
         for layer in self.dec_layers:
             h, _ = layer(h, enc, causal, cross)
-        logits = h.astype(jnp.float32) @ self.shared.embedding.T.astype(jnp.float32)
-        return logits + self.final_logits_bias
+        return self._logits(h)
 
     def __call__(self, inputs_embeds, attn_mask, decoder_ids):
         """Training-style forward (used for init + loss)."""
@@ -456,10 +507,12 @@ class Florence2(nn.Module):
 
     dims: FlorenceDims = BASE
     dtype: Any = jnp.bfloat16
+    quant: bool = False  # int8 weight-only decode (models/quant.py)
 
     def setup(self):
         self.vision = Florence2VisionEncoder(self.dims, self.dtype, name="vision")
-        self.lm = Florence2LM(self.dims, self.dtype, name="language_model")
+        self.lm = Florence2LM(self.dims, self.dtype, quant=self.quant,
+                              name="language_model")
 
     def __call__(self, pixel_values, prompt_ids, decoder_ids):
         """Teacher-forced forward for init/training.
@@ -583,7 +636,8 @@ class FlorenceCaptioner:
     ):
         self.config = config
         self.dims = dims
-        self.model = Florence2(dims=dims)
+        quant = config.quant == "int8"
+        self.model = Florence2(dims=dims, quant=quant)
         if tokenizer is None:
             from omniparser_tpu.models.tokenizer import load_tokenizer
 
@@ -597,12 +651,17 @@ class FlorenceCaptioner:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             s = config.crop_size
             p = len(self.prompt_ids)
-            params = jax.jit(self.model.init)(
+            # always init the fp model (realistic magnitudes), quantize below
+            params = jax.jit(Florence2(dims=dims).init)(
                 rng,
                 jnp.zeros((1, s, s, 3), jnp.float32),
                 jnp.zeros((1, p), jnp.int32),
                 jnp.zeros((1, 1), jnp.int32),
             )
+        if quant:
+            from omniparser_tpu.models.quant import quantize_florence_params
+
+            params = quantize_florence_params(params)
         self.params = params
         self._generate = jax.jit(
             lambda p, px, ids: greedy_generate(
