@@ -23,12 +23,13 @@ stack re-reads its weights max_new_tokens (20) times per caption batch.
 The fp32 embedding table is dropped entirely — token lookups read int8
 rows of the same table that serves the LM head (per-row dequant).
 
-Measured on the tunneled dev chip (PERF.md): generate latency is NEUTRAL
-(52.9 -> 51.8 ms at K=64 — the LM-head matmul is FLOP-bound there and XLA
-hoists the loop-invariant dequant out of the scan), while resident
-captioner memory drops 926 -> 637 MB (-31%).  The default therefore stays
-'none'; flip CaptionerConfig.quant='int8' when packing multiple models or
-larger captioners (Phi-3V-class) onto one chip.
+Measured on the tunneled dev chip (PERF.md "int8 decode"): on the shipped
+cap_synth checkpoint, K=64 generate p50 drops 56.5 -> 41.8 ms (-26%) and
+params 47 -> 29 MB; at full florence-2-base dims, resident params drop
+926 -> 638 MB (-31%).  Captions are gate-tested to match the fp path
+exactly (tests/test_quant.py).  The default stays 'none' for reference
+parity; flip CaptionerConfig.quant='int8' for speed or when packing
+multiple models (Phi-3V-class) onto one chip.
 """
 
 from __future__ import annotations
