@@ -107,8 +107,11 @@ def main():
     mfu = flops["total"] / (p50 * peak) if flops["total"] else 0.0
     timings = pipeline.last_timings
     # device time = fused step + the OCR det+components dispatch (both are
-    # device work; the ocr_detect stage timer also contains the upload
-    # drain, so measure the det dispatch alone, blocking)
+    # device work).  With fused candidates (OcrConfig.fused_candidates,
+    # default) the det dispatch chains into the fused step with no host
+    # sync, so its time is already inside the device_step timer; in the
+    # host-candidate mode it must be measured alone (the ocr_detect stage
+    # timer also contains the upload drain).
     det_ms = []
     if pipeline._jax_ocr is not None:
         ctx = pipeline._stage_upload(imgs[0])
@@ -120,8 +123,10 @@ def main():
             jax.block_until_ready(fut)
             det_ms.append(time.perf_counter() - t)
     det_step = float(np.median(det_ms)) if det_ms else 0.0
-    device_share = (timings.get("device_step", 0.0) + det_step) / max(
-        sum(timings.values()), 1e-9)
+    det_in_fused = getattr(pipeline, "_fused_ocr", False)
+    device_share = (
+        timings.get("device_step", 0.0) + (0.0 if det_in_fused else det_step)
+    ) / max(sum(timings.values()), 1e-9)
 
     print(
         json.dumps(

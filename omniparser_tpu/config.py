@@ -94,6 +94,13 @@ class OcrConfig:
     # compresses lines longer than the aspect budget isotropically)
     rec_max_width: int = 480
     dtype: str = "bfloat16"
+    # feed the det components into the fused parse step ON DEVICE
+    # (ops/components.candidate_boxes_from_cc): the single-image parse
+    # becomes det dispatch -> fused dispatch -> ONE download, with no
+    # host sync between them (the component download + host unmap loop
+    # was ~30-60 ms of RTT in the tunneled latency path).  Requires
+    # device_components; host/compat OCR backends ignore it.
+    fused_candidates: bool = True
     # run the DBNet-family connected-components postprocess on device
     # (ops/components.py) and download only per-component boxes (~5 KB)
     # instead of the probability map (~230 KB + tunnel RTT); semantics

@@ -501,30 +501,29 @@ class JaxOCR:
         """Host half: candidate boxes from the det dispatch output —
         either the on-device component dict (~5 KB download) or a
         downloaded prob map (float in [0,1] or quantized uint8) run
-        through host connected components."""
+        through host connected components.  The unclip + letterbox unmap
+        is ops/components.candidate_boxes_np: shared fp32 math with the
+        fully-on-device candidate path (candidate_boxes_from_cc), so both
+        produce bit-identical integer boxes."""
+        from omniparser_tpu.ops.components import candidate_boxes_np
+
         cfg = self.config
         if isinstance(prob_np, dict):  # device_components output
             cc = jax.device_get(prob_np)
             n = int(cc["count"])
-            candidates = unclip_component_boxes(
-                [(tuple(int(v) for v in cc["boxes"][i]),
-                  float(cc["scores"][i])) for i in range(n)]
-            )
+            comps = [(tuple(int(v) for v in cc["boxes"][i]),
+                      float(cc["scores"][i])) for i in range(n)]
         else:
             prob = np.asarray(prob_np)
             if prob.dtype == np.uint8:
                 prob = prob.astype(np.float32) / 255.0
-            candidates = extract_text_boxes(prob, min_score=0.3)
-        r_f, py, px = float(r), float(pads[0]), float(pads[1])
-        boxes_px = []
-        for (x1, y1, x2, y2), _score in candidates[: cfg.max_text_boxes]:
-            bx1 = max((x1 - px) / r_f, 0.0)
-            by1 = max((y1 - py) / r_f, 0.0)
-            bx2 = min((x2 - px) / r_f, w)
-            by2 = min((y2 - py) / r_f, h)
-            if bx2 - bx1 >= 1 and by2 - by1 >= 1:
-                boxes_px.append([int(bx1), int(by1), int(bx2), int(by2)])
-        return boxes_px
+            from omniparser_tpu.utils.hostops import extract_components
+
+            comps = [(box, score) for box, score, _area in
+                     extract_components(prob, 0.3, 4, 0.3)]
+        # cap BEFORE the min-size filter (slot semantics match the device
+        # path, which slices the same raster-ordered slots)
+        return candidate_boxes_np(comps[: cfg.max_text_boxes], r, pads, w, h)
 
     def detect_candidates(self, padded_dev, orig_hw, h: int, w: int):
         """Blocking convenience: dispatch + download + components."""

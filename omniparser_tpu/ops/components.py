@@ -163,3 +163,99 @@ def quantize_u8_parity(prob: jnp.ndarray) -> jnp.ndarray:
     quantizes the map to uint8 for the tunnel; CC must match either way)."""
     q = jnp.floor(jnp.clip(prob, 0.0, 1.0) * 255.0 + 0.5)
     return q / 255.0
+
+
+def candidate_boxes_from_cc(
+    cc_boxes: jnp.ndarray,
+    cc_count: jnp.ndarray,
+    r: jnp.ndarray,
+    pad_yx: jnp.ndarray,
+    hw: jnp.ndarray,
+    max_boxes: int,
+    scale: int = 2,
+    unclip: float = 2.0,
+):
+    """Device half of the OCR candidate postprocess: component boxes at
+    det-map scale -> normalized text-line candidate boxes in the uploaded
+    frame, entirely on device.
+
+    Traceable twin of models/ocr.candidates_from_prob's unclip + letterbox
+    unmap + min-size filter (candidate_boxes_np below is the shared-math
+    numpy restatement both paths are tested against).  Feeding this into
+    the fused parse step removes the component download + host loop from
+    the latency path: the parse becomes dispatch -> dispatch -> ONE
+    download (pipeline.py module docstring).
+
+    cc_boxes: [C, 4] int32 xyxy at det-map scale (x2/y2 exclusive),
+    raster order (device_components output).  cc_count: [] int32.
+    r / pad_yx: letterbox scale + (pad_y, pad_x), fp32 (closed-form host
+    math — models/ocr.dispatch_det).  hw: [2] int32 uploaded frame dims.
+
+    Returns (boxes_norm [max_boxes, 4] fp32, valid [max_boxes] bool,
+    overflow [] int32 — candidates dropped by the max_boxes cap).
+    All arithmetic fp32, matching the (harmonized) host path bit-for-bit.
+    """
+    b = cc_boxes[:max_boxes].astype(jnp.float32)
+    n = jnp.minimum(cc_count, max_boxes)
+    valid = jnp.arange(max_boxes, dtype=jnp.int32) < n
+    wc = b[:, 2] - b[:, 0]
+    hc = b[:, 3] - b[:, 1]
+    # unclip margin is a multiple of 0.5 and *scale makes every corner an
+    # exact integer — rounding mode can't matter (see candidate_boxes_np)
+    margin = jnp.float32((unclip - 1.0) * 0.5) * jnp.minimum(wc, hc)
+    s = jnp.float32(scale)
+    x1 = jnp.round((b[:, 0] - margin) * s)
+    y1 = jnp.round((b[:, 1] - margin) * s)
+    x2 = jnp.round((b[:, 2] + margin) * s)
+    y2 = jnp.round((b[:, 3] + margin) * s)
+    r32 = jnp.asarray(r, jnp.float32)
+    py = jnp.asarray(pad_yx[0], jnp.float32)
+    px = jnp.asarray(pad_yx[1], jnp.float32)
+    fh = hw[0].astype(jnp.float32)
+    fw = hw[1].astype(jnp.float32)
+    bx1 = jnp.maximum((x1 - px) / r32, 0.0)
+    by1 = jnp.maximum((y1 - py) / r32, 0.0)
+    bx2 = jnp.minimum((x2 - px) / r32, fw)
+    by2 = jnp.minimum((y2 - py) / r32, fh)
+    ok = valid & (bx2 - bx1 >= 1.0) & (by2 - by1 >= 1.0)
+    ib = jnp.stack(  # int() truncation parity (coords are >= 0)
+        [jnp.floor(bx1), jnp.floor(by1), jnp.floor(bx2), jnp.floor(by2)], axis=1
+    )
+    norm = ib / jnp.stack([fw, fh, fw, fh])
+    norm = jnp.where(ok[:, None], norm, 0.0)
+    overflow = jnp.maximum(cc_count - max_boxes, 0)
+    return norm, ok, overflow.astype(jnp.int32)
+
+
+def candidate_boxes_np(comps, r, pads, w: int, h: int,
+                       scale: int = 2, unclip: float = 2.0):
+    """Numpy fp32 restatement of candidate_boxes_from_cc for the HOST
+    candidate path — [(box_xyxy, score)] component list at det-map scale ->
+    compacted [x1, y1, x2, y2] int pixel boxes in the uploaded frame.
+
+    Both paths intentionally share operation order and fp32 precision so
+    their int-truncated outputs are bit-identical (the unmap divides by a
+    letterbox ratio; float64-vs-float32 could truncate knife-edge values
+    to different integers)."""
+    import numpy as np
+
+    if not comps:
+        return []
+    b = np.asarray([c[0] for c in comps], np.float32).reshape(-1, 4)
+    wc = b[:, 2] - b[:, 0]
+    hc = b[:, 3] - b[:, 1]
+    margin = np.float32((unclip - 1.0) * 0.5) * np.minimum(wc, hc)
+    s = np.float32(scale)
+    x1 = np.round((b[:, 0] - margin) * s)
+    y1 = np.round((b[:, 1] - margin) * s)
+    x2 = np.round((b[:, 2] + margin) * s)
+    y2 = np.round((b[:, 3] + margin) * s)
+    r32 = np.float32(r)
+    py, px = np.float32(pads[0]), np.float32(pads[1])
+    bx1 = np.maximum((x1 - px) / r32, np.float32(0.0))
+    by1 = np.maximum((y1 - py) / r32, np.float32(0.0))
+    bx2 = np.minimum((x2 - px) / r32, np.float32(w))
+    by2 = np.minimum((y2 - py) / r32, np.float32(h))
+    ok = (bx2 - bx1 >= 1.0) & (by2 - by1 >= 1.0)
+    ib = np.stack([bx1, by1, bx2, by2], axis=1).astype(np.int64)
+    return [list(int(v) for v in row) for row in ib[ok]]

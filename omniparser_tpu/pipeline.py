@@ -5,16 +5,19 @@ util/utils.py:407-486 `get_som_labeled_img`), restructured around ONE fused
 jitted device step:
 
     host:   decode -> pad -> upload (1 host->device transfer)
-    device: OCR text-detector -> prob map            (download #1: ~1 MB)
-    host:   connected components -> candidate boxes
-    device: [fused] YOLO detect + NMS -> OCR line recognizer + CTC stats
-            -> overlap/merge masks -> caption-slot compaction ->
-            crop-gather -> Florence greedy decode     (download #2: masks+ids)
+    device: letterbox -> OCR text-detector -> connected components
+            (dispatch #1; output STAYS on device)
+    device: [fused] candidate unclip/unmap -> YOLO detect + NMS ->
+            OCR line recognizer + CTC stats -> overlap/merge masks ->
+            caption-slot compaction -> crop-gather -> Florence greedy
+            decode (dispatch #2 -> the parse's ONE download)
     host:   strings, SOM overlay, JSON
 
 The reference makes a host<->device round trip per stage and per caption
-batch (SURVEY.md §3.1); on a tunneled TPU each round trip costs tens of ms,
-so collapsing to two downloads is the main single-image latency lever.
+batch (SURVEY.md §3.1); on a tunneled TPU each round trip costs tens of
+ms, so the two dispatches chain on device with no host sync between them
+(OcrConfig.fused_candidates; host OCR backends fall back to a component
+download + host unmap between the dispatches).
 
 Element schema and ordering match the reference exactly:
   {'type': 'text'|'icon', 'bbox': [x1,y1,x2,y2] normalized, 'interactivity',
@@ -77,19 +80,26 @@ class FusedParseStep:
     """
 
     def __init__(self, detector: Detector, cfg: PipelineConfig,
-                 rec=None, rec_params=None, captioner=None, rec_pre=None):
+                 rec=None, rec_params=None, captioner=None, rec_pre=None,
+                 device_candidates: bool = False):
         self.detector = detector
         self.cfg = cfg
         self.rec = rec  # rec params travel per-call (see _stage_dispatch)
         self.rec_pre = rec_pre or (lambda crops: crops / 255.0)
         self.captioner = captioner  # FlorenceCaptioner or None
         self.K = cfg.captioner.batch_size
+        # device_candidates: ocr_a/ocr_b args are the det-CC component
+        # boxes/count (device futures) and the candidate unclip/unmap runs
+        # inside this graph — no host sync before the dispatch
+        self.device_candidates = device_candidates
         self._fn = jax.jit(self._build())
 
     def _build(self):
         cfg = self.cfg
         do_rec = self.rec is not None
         do_cap = self.captioner is not None
+        device_candidates = self.device_candidates
+        max_ocr = cfg.ocr.max_text_boxes
         detector = self.detector
         rec = self.rec
         rec_pre = self.rec_pre
@@ -115,7 +125,7 @@ class FusedParseStep:
             preprocess = self.captioner.preprocess
 
         def fn(det_vars, rec_vars, cap_vars, padded, hw, true_hw,
-               ocr_boxes_norm, ocr_cand_valid,
+               ocr_a, ocr_b, lb_r, lb_pads,
                conf_thr, nms_iou, merge_iou, text_thr):
             # hw: the uploaded (possibly downscaled) frame, drives geometry;
             # true_hw: the ORIGINAL dims — the reference evaluates the
@@ -124,6 +134,18 @@ class FusedParseStep:
             # max_upload_side shrank the upload
             h = true_hw[0]
             w = true_hw[1]
+            ocr_overflow = jnp.int32(0)
+            if device_candidates:
+                # ocr_a/ocr_b: det-CC component boxes [C,4] + count, still
+                # on device; unclip + letterbox unmap in-graph
+                from omniparser_tpu.ops.components import candidate_boxes_from_cc
+
+                ocr_boxes_norm, ocr_cand_valid, ocr_overflow = (
+                    candidate_boxes_from_cc(ocr_a, ocr_b, lb_r, lb_pads, hw,
+                                            max_boxes=max_ocr)
+                )
+            else:
+                ocr_boxes_norm, ocr_cand_valid = ocr_a, ocr_b
             det_boxes, det_scores, det_valid, det_overflow = detector.detect_graph(
                 det_vars, padded, hw, conf_thr, nms_iou, with_stats=True
             )
@@ -157,6 +179,11 @@ class FusedParseStep:
                 "rec_ids": rec_ids,
                 "rec_conf": rec_conf,
             }
+            if device_candidates:
+                # the host never saw the candidate boxes — ship them in the
+                # single download (plus the cap counter: no-silent-caps)
+                out["ocr_boxes"] = ocr_boxes_norm
+                out["ocr_overflow"] = ocr_overflow
 
             if do_cap:
                 n = det_boxes.shape[0]
@@ -181,9 +208,14 @@ class FusedParseStep:
         return fn
 
     def __call__(self, det_vars, rec_vars, cap_vars, padded, hw, true_hw,
-                 ocr_boxes_norm, ocr_cand_valid, conf, nms_iou, merge_iou, text_thr):
+                 ocr_a, ocr_b, conf, nms_iou, merge_iou, text_thr,
+                 lb_r=0.0, lb_pads=(0.0, 0.0)):
+        """ocr_a/ocr_b: (boxes_norm, valid) host arrays, or — with
+        device_candidates — the det-CC (boxes, count) device futures plus
+        this image's letterbox lb_r/lb_pads."""
         return self._fn(det_vars, rec_vars, cap_vars, padded, hw, true_hw,
-                        ocr_boxes_norm, ocr_cand_valid,
+                        ocr_a, ocr_b, jnp.float32(lb_r),
+                        jnp.asarray(lb_pads, jnp.float32),
                         jnp.float32(conf), jnp.float32(nms_iou),
                         jnp.float32(merge_iou), jnp.float32(text_thr))
 
@@ -275,12 +307,20 @@ class SOMPipeline:
         # only KV-cache greedy captioners fuse into the device step; beam
         # decoders (BLIP-2) run as a separate dispatch on the same crops
         florence_cap = captioner if getattr(captioner, "fusable", False) else None
+        # device candidates: the det-CC output feeds the fused step without
+        # returning to host — parse is dispatch -> dispatch -> one download
+        self._fused_ocr = bool(
+            self._jax_ocr is not None
+            and config.ocr.device_components
+            and config.ocr.fused_candidates
+        )
         self.fused = FusedParseStep(
             self.detector, config,
             rec=self._jax_ocr.rec if self._jax_ocr else None,
             rec_params=self._jax_ocr.rec_params if self._jax_ocr else None,
             captioner=florence_cap,
             rec_pre=self._jax_ocr.rec_preprocess if self._jax_ocr else None,
+            device_candidates=self._fused_ocr,
         )
         self.last_timings: Dict[str, float] = {}
 
@@ -305,7 +345,14 @@ class SOMPipeline:
         ctx["som_style"] = som_style
         t["upload"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        self._stage_ocr(ctx)
+        if self._fused_ocr:
+            # async det-CC dispatch only; the fused step consumes its
+            # device output directly (no component download / host unmap)
+            ctx["ocr_fut"] = self._jax_ocr.dispatch_det(
+                ctx["padded_dev"], ctx["orig_hw"], hw_host=(ctx["uh"], ctx["uw"])
+            )
+        else:
+            self._stage_ocr(ctx)
         t["ocr_detect"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         self._stage_dispatch(ctx, box_threshold, iou_threshold)
@@ -331,7 +378,8 @@ class SOMPipeline:
                     ctx["padded_dev"], ctx["orig_hw"], hw_host=(ctx["uh"], ctx["uw"])
                 )
         for ctx in ctxs:
-            self._stage_ocr(ctx)
+            if not self._fused_ocr:
+                self._stage_ocr(ctx)
             self._stage_dispatch(ctx, None, None)
         for ctx in ctxs:
             # start all device->host copies before any blocking download so
@@ -427,12 +475,25 @@ class SOMPipeline:
         iou_threshold = cfg.iou_threshold if iou_threshold is None else iou_threshold
         cap_vars = self.fused.captioner.params if self.fused.captioner else 0
         rec_vars = self._jax_ocr.rec_params if self._jax_ocr else 0
+        if self._fused_ocr:
+            fut = ctx.pop("ocr_fut", None)
+            if fut is None:
+                fut = self._jax_ocr.dispatch_det(
+                    ctx["padded_dev"], ctx["orig_hw"],
+                    hw_host=(ctx["uh"], ctx["uw"]))
+            cc, r, pads = fut
+            ocr_a, ocr_b = cc["boxes"], cc["count"]  # device futures
+            lb = {"lb_r": r, "lb_pads": pads}
+        else:
+            ocr_a = jnp.asarray(ctx["ocr_arr"])
+            ocr_b = jnp.asarray(ctx["ocr_cand_valid"])
+            lb = {}
         ctx["out"] = self.fused(
             self.detector_params, rec_vars, cap_vars, ctx["padded_dev"], ctx["orig_hw"],
             jnp.asarray([ctx["h"], ctx["w"]], jnp.int32),
-            jnp.asarray(ctx["ocr_arr"]), jnp.asarray(ctx["ocr_cand_valid"]),
+            ocr_a, ocr_b,
             box_threshold, cfg.detector.nms_iou_threshold,
-            iou_threshold, cfg.ocr.text_threshold,
+            iou_threshold, cfg.ocr.text_threshold, **lb,
         )
 
     def _stage_finish(self, ctx: Dict):
@@ -452,8 +513,21 @@ class SOMPipeline:
                 "above-threshold candidates beyond the top-k window "
                 "(raise DetectorConfig.max_detections)", RuntimeWarning,
             )
-        ocr_arr, n_ocr = ctx["ocr_arr"], ctx["n_ocr"]
-        host_texts = ctx["host_texts"]
+        if "ocr_boxes" in out:  # device-candidate mode: boxes arrive in `out`
+            ocr_arr = out["ocr_boxes"]
+            n_ocr = ocr_arr.shape[0]
+            host_texts = None
+            if int(out.get("ocr_overflow", 0)) > 0:
+                import warnings
+
+                warnings.warn(
+                    f"OCR candidate overflow: {int(out['ocr_overflow'])} "
+                    "text components beyond max_text_boxes slots "
+                    "(raise OcrConfig.max_text_boxes)", RuntimeWarning,
+                )
+        else:
+            ocr_arr, n_ocr = ctx["ocr_arr"], ctx["n_ocr"]
+            host_texts = ctx["host_texts"]
         padded_dev, orig_hw = ctx["padded_dev"], ctx["orig_hw"]
         if self._jax_ocr is not None:
             texts = {
@@ -610,13 +684,22 @@ class SOMPipeline:
         bench.py — wall-clock on a tunneled TPU is weather, FLOPs are not."""
         cfg = self.config
         ctx = self._stage_upload(image_rgb)
-        self._stage_ocr(ctx)
         cap_vars = self.fused.captioner.params if self.fused.captioner else 0
         rec_vars = self._jax_ocr.rec_params if self._jax_ocr else 0
+        if self._fused_ocr:
+            cc, r, pads = self._jax_ocr.dispatch_det(
+                ctx["padded_dev"], ctx["orig_hw"], hw_host=(ctx["uh"], ctx["uw"]))
+            ocr_a, ocr_b = cc["boxes"], cc["count"]
+            lb_r, lb_pads = r, pads
+        else:
+            self._stage_ocr(ctx)
+            ocr_a = jnp.asarray(ctx["ocr_arr"])
+            ocr_b = jnp.asarray(ctx["ocr_cand_valid"])
+            lb_r, lb_pads = 0.0, (0.0, 0.0)
         args = (
             self.detector_params, rec_vars, cap_vars, ctx["padded_dev"],
             ctx["orig_hw"], jnp.asarray([ctx["h"], ctx["w"]], jnp.int32),
-            jnp.asarray(ctx["ocr_arr"]), jnp.asarray(ctx["ocr_cand_valid"]),
+            ocr_a, ocr_b, jnp.float32(lb_r), jnp.asarray(lb_pads, jnp.float32),
             jnp.float32(cfg.detector.box_threshold),
             jnp.float32(cfg.detector.nms_iou_threshold),
             jnp.float32(cfg.iou_threshold), jnp.float32(cfg.ocr.text_threshold),
@@ -633,13 +716,17 @@ class SOMPipeline:
 
     def warmup(self, shapes: Sequence[Tuple[int, int]] = ((1080, 1920), (2160, 3840)),
                ocr_buckets: Sequence[int] = (32, 64, 128, 256)) -> None:
-        """Compile the device graphs for the common raw buckets AND every
-        OCR slot bucket (blank warmup images yield ~0 candidates, which
-        would otherwise leave the 64/128/256-slot fused variants to compile
-        on the first dense-text production screenshot)."""
+        """Compile the device graphs for the common raw buckets AND (host-
+        candidate mode only) every OCR slot bucket — blank warmup images
+        yield ~0 candidates, which would otherwise leave the 64/128/256-slot
+        fused variants to compile on the first dense-text production
+        screenshot.  Device-candidate mode has a single fixed-slot graph
+        per raw bucket, so parse_image alone covers it."""
         for h, w in shapes:
             img = np.zeros((h, w, 3), np.uint8)
-            self.parse_image(img)  # compiles ocr-det graph + smallest bucket
+            self.parse_image(img)  # compiles ocr-det graph (+ fused graph)
+            if self._fused_ocr:
+                continue
             ctx = self._stage_upload(img)
             for bucket in ocr_buckets:
                 if bucket > self.config.ocr.max_text_boxes:

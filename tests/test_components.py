@@ -109,6 +109,111 @@ def test_quantize_parity():
         assert abs(ds - hs) < 1e-5
 
 
+def _legacy_candidates_fp32(comps, r, pads, w, h, scale=2, unclip=2.0):
+    """Slow restatement of the original candidates_from_prob loop
+    (models/ocr.py pre-harmonization), at fp32 like the shared math."""
+    r_f = np.float32(r)
+    py, px = np.float32(pads[0]), np.float32(pads[1])
+    out = []
+    for (x1c, y1c, x2c, y2c), _score in comps:
+        wc, hc = x2c - x1c, y2c - y1c
+        margin = np.float32((unclip - 1.0) * 0.5) * np.float32(min(wc, hc))
+        x1 = np.round((np.float32(x1c) - margin) * np.float32(scale))
+        y1 = np.round((np.float32(y1c) - margin) * np.float32(scale))
+        x2 = np.round((np.float32(x2c) + margin) * np.float32(scale))
+        y2 = np.round((np.float32(y2c) + margin) * np.float32(scale))
+        bx1 = max((x1 - px) / r_f, np.float32(0.0))
+        by1 = max((y1 - py) / r_f, np.float32(0.0))
+        bx2 = min((x2 - px) / r_f, np.float32(w))
+        by2 = min((y2 - py) / r_f, np.float32(h))
+        if bx2 - bx1 >= 1 and by2 - by1 >= 1:
+            out.append([int(bx1), int(by1), int(bx2), int(by2)])
+    return out
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_candidate_boxes_device_host_parity(seed):
+    """candidate_boxes_from_cc (device) == candidate_boxes_np (host) ==
+    the legacy loop restatement, on random component sets + letterboxes."""
+    import jax.numpy as jnp
+
+    from omniparser_tpu.ops.components import (
+        candidate_boxes_from_cc, candidate_boxes_np,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = 480  # det input size
+    uh = int(rng.integers(100, 1100))
+    uw = int(rng.integers(100, 2000))
+    r = min(s / uh, s / uw)
+    pads = ((s - uh * r) / 2.0, (s - uw * r) / 2.0)
+    n = int(rng.integers(0, 40))
+    comps = []
+    for _ in range(n):
+        x1 = int(rng.integers(0, s // 2 - 10))
+        y1 = int(rng.integers(0, s // 2 - 10))
+        comps.append(((x1, y1, x1 + int(rng.integers(1, 60)),
+                       y1 + int(rng.integers(1, 12))), 0.9))
+
+    max_boxes = 32
+    host = candidate_boxes_np(comps[:max_boxes], r, pads, uw, uh)
+    legacy = _legacy_candidates_fp32(comps[:max_boxes], r, pads, uw, uh)
+    assert host == legacy
+
+    cc_boxes = np.zeros((64, 4), np.int32)
+    for i, (b, _s) in enumerate(comps[:64]):
+        cc_boxes[i] = b
+    norm, valid, overflow = candidate_boxes_from_cc(
+        jnp.asarray(cc_boxes), jnp.int32(len(comps)), jnp.float32(r),
+        jnp.asarray(pads, jnp.float32), jnp.asarray([uh, uw], jnp.int32),
+        max_boxes=max_boxes,
+    )
+    norm, valid = np.asarray(norm), np.asarray(valid)
+    scale = np.array([uw, uh, uw, uh], np.float32)
+    dev_px = [[int(round(v)) for v in row * scale] for row in norm[valid]]
+    assert dev_px == host
+    assert int(overflow) == max(len(comps) - max_boxes, 0)
+    # invalid slots are zeroed (crop-gather determinism)
+    assert not norm[~valid].any()
+
+
+DET_W = None  # resolved lazily in the pipeline parity test
+
+
+def test_pipeline_fused_candidates_parity():
+    """SOMPipeline with fused_candidates=True (det-CC feeds the fused step
+    on device; ONE download) produces byte-identical elements and label
+    coordinates to the host-candidate path on a rendered GUI scene."""
+    import dataclasses
+
+    from omniparser_tpu.config import (
+        CaptionerConfig, DetectorConfig, OcrConfig, PipelineConfig,
+    )
+    from omniparser_tpu.pipeline import SOMPipeline
+    from omniparser_tpu.train.synth_gui import render_gui_scene
+
+    base = PipelineConfig(
+        detector=DetectorConfig(default_imgsz=640, max_detections=64),
+        captioner=CaptionerConfig(backend="null"),
+        ocr=OcrConfig(backend="jax", device_components=True,
+                      fused_candidates=True),
+    )
+    cfg_host = dataclasses.replace(
+        base, ocr=dataclasses.replace(base.ocr, fused_candidates=False))
+    p_fused = SOMPipeline(base)
+    p_host = SOMPipeline(cfg_host)
+    assert p_fused._fused_ocr and not p_host._fused_ocr
+
+    rng = np.random.default_rng(20260817)
+    for _ in range(2):
+        img, _icons, _tb, _tx = render_gui_scene(rng, size=640)
+        ann_f, lc_f, el_f = p_fused.parse_image(img)
+        ann_h, lc_h, el_h = p_host.parse_image(img)
+        assert el_f == el_h
+        assert lc_f == lc_h
+        np.testing.assert_array_equal(ann_f, ann_h)
+
+
 def test_jax_ocr_device_components_parity():
     """JaxOCR with device_components=True matches the host-CC path on a
     rendered GUI scene (same texts + boxes end to end)."""
