@@ -89,7 +89,14 @@ class ComputerTool:
             lambda: requests.get(f"{self.vm_url}/screenshot", timeout=90))
         if resp.status_code != 200:
             raise ToolError(f"VM screenshot failed [{resp.status_code}]")
-        img = Image.open(io.BytesIO(base64.b64decode(resp.json()["screenshot"])))
+        # the reference guest returns raw PNG bytes (omnibox server
+        # main.py:81-95 send_file; consumed by screen_capture.py:17-22);
+        # the in-repo mock wraps base64 in JSON — accept both
+        if resp.headers.get("Content-Type", "").startswith("image/"):
+            raw = resp.content
+        else:
+            raw = base64.b64decode(resp.json()["screenshot"])
+        img = Image.open(io.BytesIO(raw))
         self._screen_size = img.size
         img = img.resize((self.target_w, self.target_h))
         buf = io.BytesIO()
