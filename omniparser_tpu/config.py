@@ -94,6 +94,14 @@ class OcrConfig:
     # compresses lines longer than the aspect budget isotropically)
     rec_max_width: int = 480
     dtype: str = "bfloat16"
+    # recognize line crops in fixed-size blocks inside a lax.fori_loop whose
+    # trip count is the REAL candidate count (data-dependent compute, static
+    # shapes): a 20-line screenshot pays for 1 block of 32, not all
+    # max_text_boxes slots.  Matters most with fused_candidates, where the
+    # host never sees the count and cannot bucket the slot dimension
+    # (host-candidate mode buckets slots per dispatch instead).  0 = one
+    # full-width rec batch.  Bit-identical on valid slots (tests).
+    rec_block: int = 32
     # feed the det components into the fused parse step ON DEVICE
     # (ops/components.candidate_boxes_from_cc): the single-image parse
     # becomes det dispatch -> fused dispatch -> ONE download, with no

@@ -152,11 +152,51 @@ class FusedParseStep:
             det_valid = det_valid & (int_box_area(det_boxes, w, h) > 0)
 
             if do_rec:
-                line_crops = crop_lines(padded, hw, ocr_boxes_norm, rec_hw)
                 from omniparser_tpu.models.ocr import ctc_device_stats
 
-                logits = rec.apply(rec_vars, rec_pre(line_crops), train=False)
-                rec_ids, rec_conf, n_chars = ctc_device_stats(logits)
+                M = ocr_boxes_norm.shape[0]
+                blk = cfg.ocr.rec_block
+                if blk and M % blk == 0 and M // blk > 1:
+                    # block-looped recognition: trip count = real candidate
+                    # count (device scalar), so rec/crop cost scales with
+                    # the screenshot's text density instead of the slot cap.
+                    # Invalid slots keep all-blank ids (id 0) => n_chars 0.
+                    n_valid = jnp.where(
+                        ocr_cand_valid,
+                        jnp.arange(M, dtype=jnp.int32) + 1, 0
+                    ).max()
+                    n_blocks = (n_valid + blk - 1) // blk
+                    probe = jax.eval_shape(
+                        lambda v, c: rec.apply(v, rec_pre(c), train=False),
+                        rec_vars,
+                        jax.ShapeDtypeStruct((blk, *rec_hw, 3), jnp.float32),
+                    )
+                    T = probe.shape[1]
+
+                    def rec_body(i, carry):
+                        ids_a, conf_a, nch_a = carry
+                        s = i * blk
+                        boxes_b = jax.lax.dynamic_slice_in_dim(
+                            ocr_boxes_norm, s, blk, 0)
+                        crops = crop_lines(padded, hw, boxes_b, rec_hw)
+                        logits = rec.apply(rec_vars, rec_pre(crops), train=False)
+                        ids_b, conf_b, nch_b = ctc_device_stats(logits)
+                        return (
+                            jax.lax.dynamic_update_slice_in_dim(ids_a, ids_b, s, 0),
+                            jax.lax.dynamic_update_slice_in_dim(conf_a, conf_b, s, 0),
+                            jax.lax.dynamic_update_slice_in_dim(nch_a, nch_b, s, 0),
+                        )
+
+                    rec_ids, rec_conf, n_chars = jax.lax.fori_loop(
+                        0, n_blocks, rec_body,
+                        (jnp.zeros((M, T), jnp.int32),
+                         jnp.zeros((M,), jnp.float32),
+                         jnp.zeros((M,), jnp.int32)),
+                    )
+                else:
+                    line_crops = crop_lines(padded, hw, ocr_boxes_norm, rec_hw)
+                    logits = rec.apply(rec_vars, rec_pre(line_crops), train=False)
+                    rec_ids, rec_conf, n_chars = ctc_device_stats(logits)
                 ocr_valid = ocr_cand_valid & (n_chars > 0) & (rec_conf > text_thr)
             else:
                 m = ocr_boxes_norm.shape[0]

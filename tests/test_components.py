@@ -235,3 +235,36 @@ def test_jax_ocr_device_components_parity():
     t_host, b_host = ocr_host.recognize(img)
     assert t_dev == t_host
     assert b_dev == b_host
+
+
+def test_rec_block_loop_parity():
+    """The block-looped recognizer (OcrConfig.rec_block: lax.fori_loop with
+    a data-dependent trip count over 32-slot blocks) is byte-identical to
+    the full-width rec batch on the fused device-candidate path."""
+    import dataclasses
+
+    from omniparser_tpu.config import (
+        CaptionerConfig, DetectorConfig, OcrConfig, PipelineConfig,
+    )
+    from omniparser_tpu.pipeline import SOMPipeline
+    from omniparser_tpu.train.synth_gui import render_gui_scene
+
+    base = PipelineConfig(
+        detector=DetectorConfig(default_imgsz=640, max_detections=64),
+        captioner=CaptionerConfig(backend="null"),
+        ocr=OcrConfig(backend="jax", device_components=True,
+                      fused_candidates=True, rec_block=32),
+    )
+    cfg_full = dataclasses.replace(
+        base, ocr=dataclasses.replace(base.ocr, rec_block=0))
+    p_blk = SOMPipeline(base)
+    p_full = SOMPipeline(cfg_full)
+
+    rng = np.random.default_rng(20260818)
+    for _ in range(2):
+        img, _icons, _tb, _tx = render_gui_scene(rng, size=640)
+        ann_b, lc_b, el_b = p_blk.parse_image(img)
+        ann_f, lc_f, el_f = p_full.parse_image(img)
+        assert el_b == el_f
+        assert lc_b == lc_f
+        np.testing.assert_array_equal(ann_b, ann_f)

@@ -227,3 +227,27 @@ def test_structured_logging(monkeypatch, capsys):
     buf2 = io.StringIO()
     jlog("parse", _stream=buf2)
     assert buf2.getvalue() == ""  # disabled by default
+
+
+def test_concurrent_clients_no_cross_talk(server, rng):
+    """Race check: 24 concurrent clients with DISTINCT images through the
+    micro-batcher; every response must carry its own request's payload
+    (batch grouping must never swap or drop per-request outputs).  The
+    reference serves one FastAPI handler per request and has no batching
+    layer to get this wrong; our MicroBatcher does, so pin it."""
+    import concurrent.futures
+
+    srv, port = server
+
+    def one(i):
+        # unique image size => unique FakePipeline echo content
+        w, h = 32 + i, 24 + i
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        code, payload = _req(port, "/parse/",
+                             {"base64_image": encode_image_base64(img)})
+        assert code == 200
+        return i, payload["parsed_content_list"][0]["content"], f"{w}x{h}"
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=12) as ex:
+        for i, got, want in ex.map(one, range(24)):
+            assert got == want, f"request {i}: got {got}, want {want}"
