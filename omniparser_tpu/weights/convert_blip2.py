@@ -1,9 +1,10 @@
 """HF Salesforce/blip2-opt-2.7b safetensors -> omniparser_tpu Blip2 tree.
 
-Same offline caveat as convert_florence.py: the mapping follows HF's
-published modeling_blip_2.py key structure, validated structurally against
-synthetic state dicts (tests/test_converters.py); `unmatched` pinpoints any
-spelling drift when real weights land.
+The mapping follows HF's published modeling_blip_2.py key structure and is
+validated against a GENUINE transformers Blip2ForConditionalGeneration
+state dict (tiny config, tests/test_hf_keys.py) — every key spelling and
+shape is authentic, not synthesizer-circular. `unmatched` pinpoints any
+drift if a future HF version renames keys.
 """
 
 from __future__ import annotations

@@ -5,11 +5,14 @@ trust_remote_code (util/utils.py:61-68).  This converter maps those keys
 onto models/florence2.py's tree.
 
 Caveat (stated honestly): no Florence-2 weights exist in this offline
-image, so the HF-side key spellings below follow the published
-modeling_florence2.py structure but are validated structurally (synthetic
-state dicts in tests/test_converters.py), not against a real checkpoint.
-`convert_florence_state_dict` therefore returns an `unmatched` report —
-with real weights, any leftover keys pinpoint spelling drift immediately.
+image.  The language-model half (BART encoder/decoder incl. tied-weight
+duplicates) is validated against a GENUINE transformers
+BartForConditionalGeneration state dict (tests/test_hf_keys.py); the
+DaViT tower keys come from remote-code modeling_florence2.py and are
+validated structurally only (synthetic state dicts in
+tests/test_converters.py).  `convert_florence_state_dict` returns an
+`unmatched` report — with real weights, any leftover keys pinpoint
+spelling drift immediately.
 
 Transpose conventions:
   torch Linear [out, in]        -> flax Dense kernel [in, out]
@@ -138,6 +141,11 @@ def convert_florence_state_dict(
         # ---------------- language model ---------------- #
         lk = k.removeprefix("language_model.").removeprefix("model.")
         lbase = lk.rsplit(".", 1)[0]
+        if lbase in ("encoder.embed_tokens", "decoder.embed_tokens", "lm_head"):
+            # BART weight tying: these are views of `shared`. torch
+            # state_dicts include the duplicates, safetensors saves drop
+            # them — either way `shared` is the single source of truth.
+            continue
         if lbase == "shared":
             _set(params, ["language_model", "shared"], "embedding", v)
             continue

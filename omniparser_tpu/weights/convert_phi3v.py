@@ -3,10 +3,12 @@
 Key map follows HF's published modeling_phi3_v.py structure
 (model.layers.N.self_attn.qkv_proj fused, mlp.gate_up_proj fused,
 model.vision_embed_tokens.img_processor.vision_model CLIP tower,
-img_projection Sequential MLP).  Same offline caveat as the other
-converters: validated structurally against synthesized state dicts
-(tests/test_phi3v.py); `unmatched` pinpoints spelling drift when real
-weights land.
+img_projection Sequential MLP).  The LM half and the CLIP tower suffixes
+are validated against GENUINE transformers Phi3ForCausalLM +
+CLIPVisionModel state dicts (tests/test_hf_keys.py); only the
+`model.vision_embed_tokens.` prefix and the 2-linear img_projection come
+from microsoft/Phi-3-vision remote code and remain synthesizer-validated
+(tests/test_phi3v.py). `unmatched` pinpoints drift when real weights land.
 
 Deliberately skipped HF keys (not architecture weights we consume):
   * vision post_layernorm — features are taken from the penultimate layer
