@@ -18,13 +18,20 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+import zlib
+
 import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    """Hermetic per-test RNG: the seed derives from the test's nodeid, so
+    every test sees identical inputs regardless of suite order or subset
+    selection.  (A shared session-scoped generator made input data depend
+    on which tests ran earlier — parity tests flaked only in full runs.)"""
+    seed = zlib.adler32(request.node.nodeid.encode())
+    return np.random.default_rng(seed)
 
 
 def random_boxes(rng, n, scale=1.0, min_size=0.01, max_size=0.4):
