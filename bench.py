@@ -52,7 +52,7 @@ def main():
 
     enable_compilation_cache()  # repeat runs warm-start the 2-4 min compile
 
-    names = ["demo_image.jpg", "google_page.png", "windows_home.png", "mobile.png",
+    names = ["demo_image.jpg", "google_page.png", "windows.png", "mobile.png",
              "ios.png", "word.png", "excel.png", "onenote.png"]
     imgs = [
         load_image_rgb(f"/root/reference/imgs/{n}")

@@ -34,6 +34,15 @@ class DetectorConfig:
     box_threshold: float = 0.05  # reference BOX_TRESHOLD (server default)
     nms_iou_threshold: float = 0.1  # reference get_som_labeled_img iou_threshold=0.1
     max_detections: int = 512  # fixed-shape NMS output slots
+    # static top-k window between the confidence filter and NMS.  The
+    # reference's NMS sees every above-threshold candidate
+    # (util/utils.py:378-399 -> ultralytics, unbounded); a window smaller
+    # than the above-threshold count can change the keep-set (the trained
+    # checkpoint produces ~2k candidates at conf 0.05 on dense reference
+    # screenshots).  4096 covers those with margin; overflow beyond it
+    # still warns (no-silent-caps).  Windows > 1024 route NMS to the
+    # select-max variant (ops/nms.py) — O(N) memory, max_det steps.
+    prefilter_topk: int = 4096
     dtype: str = "bfloat16"
 
 

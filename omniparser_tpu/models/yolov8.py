@@ -274,6 +274,9 @@ class Detector:
     num_classes: int = 1
     imgsz: int = 1280
     max_det: int = 512
+    # conf->NMS top-k window; must cover the above-threshold candidate
+    # count for keep-set parity with the reference's unbounded NMS
+    prefilter: int = 4096
 
     @property
     def module(self) -> YOLOv8:
@@ -300,22 +303,26 @@ class Detector:
         nms_iou,
         allow_pallas: bool = True,  # False under vmap (Mosaic doesn't batch)
         with_stats: bool = False,
+        with_raw: bool = False,
     ):
         """Single-image detect (traceable; composes into larger fused
         graphs).  Returns (boxes_norm [max_det,4] xyxy in [0,1],
         scores [max_det], valid [max_det]); with_stats=True appends the
         prefilter overflow count (candidates above threshold beyond the
-        static top-k — no-silent-caps convention)."""
+        static top-k — no-silent-caps convention); with_raw=True appends
+        the full pre-NMS decode (boxes_norm [A,4], scores [A]) so tests
+        can run an unbounded-NMS oracle on the exact same tensors."""
         img, r, pad = letterbox(padded_u8, orig_hw, self.imgsz)
         level_outputs = self.module.apply(variables, img[None], train=False)
         boxes, scores = decode_predictions(level_outputs)
         boxes, scores = boxes[0], scores[0].max(axis=-1)  # single class max
 
         # confidence prefilter + static top-k (ultralytics: conf then NMS).
-        # 2x max_det keeps the greedy keep-set identical in practice while
-        # staying under the Pallas NMS VMEM gate (N<=1024, see ops/nms.py).
+        # The window must cover every above-threshold candidate for the
+        # greedy keep-set to match the reference's unbounded NMS; overflow
+        # is counted (with_stats) and warned on by the pipeline.
         keep = scores > conf_threshold
-        k = min(self.max_det * 2, boxes.shape[0])
+        k = min(max(self.prefilter, self.max_det * 2), boxes.shape[0])
         top_scores, top_idx = jax.lax.top_k(jnp.where(keep, scores, -1.0), k)
         top_boxes = boxes[top_idx]
         top_valid = top_scores > 0
@@ -327,7 +334,10 @@ class Detector:
         # letterboxed pixels -> original pixels -> normalized
         nb = boxes_letterboxed_to_image(nb, r, pad, orig_hw)
         wh = jnp.stack([orig_hw[1], orig_hw[0], orig_hw[1], orig_hw[0]]).astype(jnp.float32)
+        out = (nb / wh, ns, nv)
         if with_stats:
-            overflow = jnp.maximum(keep.sum() - k, 0)
-            return nb / wh, ns, nv, overflow
-        return nb / wh, ns, nv
+            out = out + (jnp.maximum(keep.sum() - k, 0),)
+        if with_raw:
+            raw_nb = boxes_letterboxed_to_image(boxes, r, pad, orig_hw)
+            out = out + ((raw_nb / wh, scores),)
+        return out

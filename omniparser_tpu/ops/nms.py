@@ -26,6 +26,47 @@ def _plain_pairwise_iou(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / jnp.where(union == 0, 1.0, union), 0.0)
 
 
+def _select_max_keep(sboxes, svalid, iou_threshold, max_out):
+    """Greedy NMS as max_out select-max steps over score-sorted slots.
+
+    Equivalent keep-set to the full greedy pass truncated to its top
+    max_out survivors, but sequential length max_out (not N) and O(N)
+    memory (no N x N IoU matrix) — the shape used for large prefilter
+    windows (DetectorConfig.prefilter_topk > 1024), where the reference's
+    unbounded ultralytics NMS must be matched without a 4096^2 matrix.
+
+    Inputs are score-sorted descending with padding slots invalid; the
+    running argmin over available positions therefore visits boxes in
+    exactly the order the sorted greedy loop would.
+    """
+    n = sboxes.shape[0]
+    pos = jnp.arange(n)
+    area = box_area(sboxes)
+
+    def body(_, carry):
+        avail, keep = carry
+        # first still-available slot == highest-scoring remaining box
+        i = jnp.argmax(avail)
+        ok = avail[i]
+        bi = sboxes[i]
+        lt = jnp.maximum(bi[:2], sboxes[:, :2])
+        rb = jnp.minimum(bi[2:], sboxes[:, 2:])
+        inter = jnp.prod(jnp.clip(rb - lt, 0, None), axis=-1)
+        union = area[i] + area - inter
+        iou = jnp.where(union > 0, inter / jnp.where(union == 0, 1.0, union), 0.0)
+        suppress = (iou > iou_threshold) & avail
+        # .max, not .set: once every slot is exhausted argmax returns 0,
+        # and ok=False must not clobber an already-kept slot 0
+        keep = keep.at[i].max(ok)
+        avail = avail & ~suppress & (pos != i)
+        return avail, keep
+
+    _, keep = jax.lax.fori_loop(
+        0, max_out, body, (svalid, jnp.zeros((n,), jnp.bool_))
+    )
+    return keep
+
+
 @partial(jax.jit, static_argnames=("max_out", "allow_pallas"))
 def nms_fixed_shape(
     boxes: jnp.ndarray,
@@ -64,6 +105,9 @@ def nms_fixed_shape(
     if allow_pallas and use_pallas() and n <= 1024:
         # single-kernel greedy pass: IoU matrix + suppression scan in VMEM
         keep = pallas_nms_keep(sboxes, svalid, iou_threshold)
+    elif n > 1024:
+        # large prefilter windows: O(N) memory, max_out sequential steps
+        keep = _select_max_keep(sboxes, svalid, iou_threshold, max_out)
     else:
         iou = _plain_pairwise_iou(sboxes)
         pos = jnp.arange(n)

@@ -278,6 +278,7 @@ class SOMPipeline:
             num_classes=config.detector.num_classes,
             imgsz=config.detector.default_imgsz,
             max_det=config.detector.max_detections,
+            prefilter=config.detector.prefilter_topk,
         )
         if detector_params is None:
             weights = config.detector_weights
@@ -551,7 +552,7 @@ class SOMPipeline:
             warnings.warn(
                 f"detector prefilter overflow: {int(out['det_overflow'])} "
                 "above-threshold candidates beyond the top-k window "
-                "(raise DetectorConfig.max_detections)", RuntimeWarning,
+                "(raise DetectorConfig.prefilter_topk)", RuntimeWarning,
             )
         if "ocr_boxes" in out:  # device-candidate mode: boxes arrive in `out`
             ocr_arr = out["ocr_boxes"]

@@ -44,6 +44,44 @@ def test_nms_identical_boxes_keep_highest():
     assert idx[0] == 1 and os_[0] == np.float32(0.9)
 
 
+def test_nms_select_max_matches_oracle(rng):
+    """N > 1024 routes to the select-max variant (O(N) memory, max_out
+    sequential steps — DetectorConfig.prefilter_topk windows); keep-set
+    must still equal the greedy oracle truncated to max_out."""
+    n = 1536
+    boxes = random_boxes(rng, n, max_size=0.25)
+    scores = rng.uniform(0.05, 1.0, size=n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 100)] = False
+    _, os_, idx, keep_valid = _run(boxes, scores, valid, 0.3, max_out=128)
+    got = list(idx[keep_valid])
+    want = oracles.greedy_nms(boxes[valid], scores[valid], 0.3)
+    want = [np.nonzero(valid)[0][j] for j in want][:128]
+    assert got == want
+    assert np.all(np.diff(os_[keep_valid]) <= 0)
+
+
+def test_nms_select_max_equals_matrix_path(rng):
+    """The two device implementations must agree exactly (same inputs pass
+    either the n<=1024 matrix loop or the select-max loop depending only
+    on padding)."""
+    n = 800
+    boxes = random_boxes(rng, n, max_size=0.3)
+    scores = rng.uniform(0.05, 1.0, size=n).astype(np.float32)
+    valid = np.ones(n, bool)
+    _, _, idx_small, kv_small = _run(boxes, scores, valid, 0.2, max_out=64)
+    # pad to >1024 slots with invalid entries to force the select-max path
+    pad = 1200
+    bp = np.zeros((pad, 4), np.float32)
+    bp[:n] = boxes
+    sp = np.zeros(pad, np.float32)
+    sp[:n] = scores
+    vp = np.zeros(pad, bool)
+    vp[:n] = True
+    _, _, idx_big, kv_big = _run(bp, sp, vp, 0.2, max_out=64)
+    assert list(idx_small[kv_small]) == list(idx_big[kv_big])
+
+
 def test_nms_truncates_to_max_out(rng):
     # disjoint boxes: all kept, but only max_out slots returned (top scores)
     n = 20
