@@ -67,8 +67,15 @@ def main():
     # host resize was ~50 ms/frame at 4K on the 1-core host).  Detection
     # runs at <=1280px regardless; element counts on the reference images
     # match the full-res path to within 1-2.
+    base = PipelineConfig()
     cfg = dataclasses.replace(
-        PipelineConfig(), max_upload_side=1920, max_som_side=1920,
+        base, max_upload_side=1920, max_som_side=1920,
+        # int8 weight-only caption decode (models/quant.py): greedy
+        # captions exact-match the fp path (tests/test_quant.py gate);
+        # the decode is weight-traffic-bound so int8 cuts its device time
+        # ~26% (PERF.md).  split_decode (CaptionerConfig default) decodes
+        # only the needed slot bucket in a second dispatch.
+        captioner=dataclasses.replace(base.captioner, quant="int8"),
     )
     ocr_ckpt = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -125,7 +132,8 @@ def main():
     det_step = float(np.median(det_ms)) if det_ms else 0.0
     det_in_fused = getattr(pipeline, "_fused_ocr", False)
     device_share = (
-        timings.get("device_step", 0.0) + (0.0 if det_in_fused else det_step)
+        timings.get("device_step", 0.0) + timings.get("decode", 0.0)
+        + (0.0 if det_in_fused else det_step)
     ) / max(sum(timings.values()), 1e-9)
 
     print(
@@ -140,7 +148,9 @@ def main():
                 "p50_latency_s": round(p50, 4),
                 "mfu": round(mfu, 6),
                 "device_flops_per_parse": flops["total"],
+                "device_flops_split": {k: v for k, v in flops.items() if k != "total"},
                 "device_time_share": round(device_share, 4),
+                "captioner_quant": cfg.captioner.quant,
                 "ocr_det_step_s": round(det_step, 4),
                 "ocr_weights": bool(cfg.ocr_weights),
                 "stage_timings_s": {k: round(v, 4) for k, v in timings.items()},

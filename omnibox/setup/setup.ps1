@@ -1,11 +1,13 @@
 # OmniBox guest bootstrap (runs once, elevated, from firstboot install.bat).
 #
 # First-party equivalent of the reference's setup.ps1
-# (omnitool/omnibox/vm/win11setup/setupscripts/setup.ps1:350-391): install
-# Python + the input-control dependency, open the control-server port, and
-# register the server to start on every logon.  Kept minimal on purpose —
-# app payloads (browsers, office, ...) are site-specific; add them here or
-# bake a custom.iso (see ../vm/win11iso/README.md).
+# (omnitool/omnibox/vm/win11setup/setupscripts/setup.ps1): install Python +
+# the input-control dependency, provision the app catalog the agent
+# operates on (install_tools.ps1 + tools_config.json — the data-driven
+# version of the reference's per-app blocks at setup.ps1:350-391), open
+# the control-server port, and register the server to start on every
+# logon.  Extend the catalog by editing tools_config.json (schema +
+# mock-run tested in tests/test_provision.py).
 
 $ErrorActionPreference = "Stop"
 $Share   = "\\host.lan\data"          # samba share from the container
@@ -33,6 +35,13 @@ if (-not (Test-Path $Python)) {
 
 Write-Output "[setup] installing guest python deps (pyautogui + pillow)"
 & $Python -m pip install --quiet pyautogui pillow
+
+# --- app catalog: browsers/office/media the agent operates on ---
+# (tools_config.json-driven; reference installs ~the same set via
+# setup.ps1:350-391.  Failures are per-app and non-fatal — a guest
+# without GIMP still serves.)
+Write-Output "[setup] provisioning app catalog"
+& "$Root\install_tools.ps1" -ConfigPath "$Root\tools_config.json"
 
 # --- firewall: allow the control server port in ---
 Write-Output "[setup] opening TCP 5000"

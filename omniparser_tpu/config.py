@@ -67,6 +67,15 @@ class CaptionerConfig:
     # the fp path on the shipped checkpoint.  'none' = fp (reference
     # parity; util/utils.py:61-68 runs fp16/fp32, never quantized).
     quant: str = "none"
+    # decode captions in a SECOND device dispatch over only the smallest
+    # power-of-2 slot bucket covering this image's content-less icon count
+    # (compaction packs needed crops first, so slicing [:kb] is lossless),
+    # skipping decode entirely at zero need.  The caption decode is the
+    # dominant device cost (Florence-base over all K=128 slots regardless
+    # of need); paying one extra device round trip to cut it 4-16x wins
+    # even on the tunneled dev chip (PERF.md round 3).  False = the round-2
+    # single-dispatch graph (decode fused, all K slots).
+    split_decode: bool = True
     # model dims (florence-2-base); overridden by loaded checkpoints
     d_model: int = 768
     encoder_layers: int = 6

@@ -44,6 +44,11 @@ class FlorenceDims:
     patch_size: Tuple[int, ...] = (7, 3, 3, 3)
     patch_stride: Tuple[int, ...] = (4, 2, 2, 2)
     patch_padding: Tuple[int, ...] = (3, 1, 1, 1)
+    # True = LayerNorm the stage INPUT before its conv (the genuine
+    # Florence-2 DaViT: convs.{1,2,3}.norm has embed_dim[s-1] params);
+    # False = post-norm the conv output.  Legacy first-party checkpoints
+    # (cap_synth) predate this fix and load with all-False.
+    patch_prenorm: Tuple[bool, ...] = (False, True, True, True)
     window_size: int = 12
     mlp_ratio: float = 4.0
     d_model: int = 768
@@ -206,15 +211,23 @@ class DaViT(nn.Module):
         d = self.dims
         for stage in range(4):
             k, s, p = d.patch_size[stage], d.patch_stride[stage], d.patch_padding[stage]
+            if d.patch_prenorm[stage]:
+                # genuine checkpoint semantics (patch_prenorm = False,
+                # True, True, True): stages 1-3 LayerNorm the INPUT
+                # channels before the conv — convs.{s}.norm.weight has
+                # shape embed_dim[s-1] in microsoft/Florence-2-base
+                # (pinned by tests/test_hf_keys.py against the
+                # first-party transformers Florence2VisionBackbone)
+                x = nn.LayerNorm(dtype=jnp.float32,
+                                 name=f"patch_embed{stage}_norm")(x).astype(self.dtype)
             x = nn.Conv(d.embed_dims[stage], (k, k), strides=(s, s),
                         padding=[(p, p), (p, p)], dtype=self.dtype,
-                        name=f"patch_embed{stage}_conv")(
-                x if stage == 0 else x
-            )
+                        name=f"patch_embed{stage}_conv")(x)
             b, h, w, c = x.shape
-            x = nn.LayerNorm(dtype=jnp.float32, name=f"patch_embed{stage}_norm")(
-                x.reshape(b, h * w, c)
-            ).astype(self.dtype)
+            x = x.reshape(b, h * w, c)
+            if not d.patch_prenorm[stage]:
+                x = nn.LayerNorm(dtype=jnp.float32,
+                                 name=f"patch_embed{stage}_norm")(x).astype(self.dtype)
             for blk in range(d.depths[stage]):
                 x = SpatialBlock(c, d.num_heads[stage], d.window_size,
                                  d.mlp_ratio, self.dtype,
@@ -692,6 +705,9 @@ class FlorenceCaptioner:
 
         with open(os.path.join(path, "dims.json")) as f:
             raw = json.load(f)
+        # checkpoints written before the patch_prenorm fix trained with
+        # post-norm conv embeds everywhere; keep loading them faithfully
+        raw.setdefault("patch_prenorm", (False, False, False, False))
         dims = FlorenceDims(**{
             k: tuple(v) if isinstance(v, list) else v for k, v in raw.items()
         })

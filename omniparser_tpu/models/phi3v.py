@@ -225,9 +225,23 @@ class Phi3V(nn.Module):
         self.lm_head = nn.Dense(d.vocab_size, use_bias=False, dtype=jnp.float32)
 
     def image_embeds(self, pixel_values):
-        """[B, S, S, 3] -> [B, N_patches, lm_width]."""
-        feats = self.vision(pixel_values)
-        return self.proj_2(nn.gelu(self.proj_1(feats)))
+        """[B, S, S, 3] -> [B, (n/2)^2, lm_width].
+
+        Matches the checkpoint's img_projection input semantics
+        (modeling_phi3_v.py reshape_hd_patches_2x2merge, which applies to
+        the global crop too): drop CLS, reshape patch features to the
+        n x n grid, concatenate each 2x2 neighborhood row-major into 4C
+        channels, then the 2-linear GELU projector — so the genuine
+        [lm_width, 4*vision_width] img_projection.0 weight loads 1:1
+        (weights/manifests/phi3v_vision_prefix.json)."""
+        d = self.dims
+        feats = self.vision(pixel_values)  # patch tokens (ClipViT drops CLS)
+        n = d.image_size // d.patch_size
+        b = feats.shape[0]
+        f = feats.reshape(b, n // 2, 2, n // 2, 2, d.vision_width)
+        f = f.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, (n // 2) ** 2, 4 * d.vision_width)
+        return self.proj_2(nn.gelu(self.proj_1(f)))
 
     def __call__(self, pixel_values, prefix_ids, suffix_ids):
         """Training/eval forward over the full prompt; returns logits."""

@@ -92,6 +92,12 @@ class FusedParseStep:
         # boxes/count (device futures) and the candidate unclip/unmap runs
         # inside this graph — no host sync before the dispatch
         self.device_candidates = device_candidates
+        # split_decode: the fused graph stops at compacted caption crops
+        # (kept on device); decode_crops() then runs greedy decode over
+        # only the needed slot bucket as a second dispatch
+        self.split_decode = bool(captioner is not None
+                                 and cfg.captioner.split_decode)
+        self._decode_cache: Dict[int, object] = {}
         self._fn = jax.jit(self._build())
 
     def _build(self):
@@ -114,6 +120,7 @@ class FusedParseStep:
         else:
             crop_lines = crop_lines_batch
             crop_resize = crop_resize_batch
+        split = self.split_decode
         if do_cap:
             from omniparser_tpu.models.florence2 import greedy_generate
 
@@ -238,13 +245,43 @@ class FusedParseStep:
                     jnp.arange(n, dtype=jnp.int32), mode="drop"
                 )
                 crops = crop_resize(padded, hw, cap_boxes, crop_size)
-                tokens = greedy_generate(
-                    florence, cap_vars, preprocess(crops), prompt_k, max_new
-                )
-                out.update(cap_tokens=tokens, cap_valid=cap_valid, cap_src=cap_src,
+                out.update(cap_valid=cap_valid, cap_src=cap_src,
                            cap_overflow=need.sum() - cap_valid.sum())
+                if split:
+                    out["crops"] = crops  # stays on device; decode_crops()
+                else:
+                    out["cap_tokens"] = greedy_generate(
+                        florence, cap_vars, preprocess(crops), prompt_k, max_new
+                    )
             return out
 
+        return fn
+
+    def decode_crops(self, cap_vars, crops_dev, kb: int):
+        """Second dispatch of the split-decode path: greedy-decode the
+        first kb caption slots (a power-of-2 bucket covering this image's
+        content-less icon count).  One compiled graph per kb."""
+        return self._decode_fn(kb)(cap_vars, crops_dev[:kb])
+
+    def _decode_fn(self, kb: int):
+        fn = self._decode_cache.get(kb)
+        if fn is None:
+            from omniparser_tpu.models.florence2 import greedy_generate
+
+            florence = self.captioner.model
+            prompt = jnp.asarray(
+                np.tile(self.captioner.prompt_ids[None], (kb, 1)), jnp.int32
+            )
+            max_new = self.cfg.captioner.max_new_tokens
+            preprocess = self.captioner.preprocess
+
+            def f(vars_, crops):
+                return greedy_generate(
+                    florence, vars_, preprocess(crops), prompt, max_new
+                )
+
+            fn = jax.jit(f)
+            self._decode_cache[kb] = fn
         return fn
 
     def __call__(self, det_vars, rec_vars, cap_vars, padded, hw, true_hw,
@@ -397,8 +434,13 @@ class SOMPipeline:
         t["ocr_detect"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         self._stage_dispatch(ctx, box_threshold, iou_threshold)
+        crops_dev = ctx["out"].pop("crops", None)  # stays on device
         ctx["out"] = jax.device_get(ctx["out"])
         t["device_step"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        self._dispatch_decode(ctx, crops_dev)
+        self._collect_decode(ctx)
+        t["decode"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         result = self._stage_finish(ctx)
         t["assemble"] = ctx["t_assemble"]
@@ -422,6 +464,7 @@ class SOMPipeline:
             if not self._fused_ocr:
                 self._stage_ocr(ctx)
             self._stage_dispatch(ctx, None, None)
+            ctx["crops_dev"] = ctx["out"].pop("crops", None)
         for ctx in ctxs:
             # start all device->host copies before any blocking download so
             # image i+1's transfer streams while the host finishes image i
@@ -429,9 +472,15 @@ class SOMPipeline:
             jax.tree.map(
                 lambda a: a.copy_to_host_async() if hasattr(a, "copy_to_host_async") else None,
                 ctx["out"])
+        for ctx in ctxs:
+            # split-decode dispatches chain off each image's downloaded
+            # cap_valid count; image i's decode runs while image i+1's
+            # output still streams and earlier finishes occupy the host
+            ctx["out"] = jax.device_get(ctx["out"])
+            self._dispatch_decode(ctx, ctx.pop("crops_dev", None))
         results = []
         for ctx in ctxs:
-            ctx["out"] = jax.device_get(ctx["out"])
+            self._collect_decode(ctx)
             results.append(self._stage_finish(ctx))
         return results
 
@@ -536,6 +585,29 @@ class SOMPipeline:
             box_threshold, cfg.detector.nms_iou_threshold,
             iou_threshold, cfg.ocr.text_threshold, **lb,
         )
+
+    def _dispatch_decode(self, ctx: Dict, crops_dev) -> None:
+        """Split-decode stage: greedy-decode only the smallest power-of-2
+        slot bucket covering this image's content-less icon count (the
+        compaction in the fused step packed them first).  Zero need =>
+        no dispatch at all."""
+        if crops_dev is None or "cap_valid" not in ctx["out"]:
+            return
+        need = int(np.asarray(ctx["out"]["cap_valid"]).sum())
+        if need == 0:
+            return
+        kb = 8
+        while kb < need:
+            kb *= 2
+        kb = min(kb, self.fused.K)
+        ctx["tokens_fut"] = self.fused.decode_crops(
+            self.fused.captioner.params, crops_dev, kb
+        )
+
+    def _collect_decode(self, ctx: Dict) -> None:
+        fut = ctx.pop("tokens_fut", None)
+        if fut is not None:
+            ctx["out"]["cap_tokens"] = np.asarray(jax.device_get(fut))
 
     def _stage_finish(self, ctx: Dict):
         cfg = self.config
@@ -752,17 +824,44 @@ class SOMPipeline:
                 self._jax_ocr._det_fn, self._jax_ocr.det_params,
                 jnp.zeros((1, s, s, 3), jnp.float32),
             )
+        if self.fused.split_decode:
+            # split mode: the fused graph stops at crops; count the decode
+            # dispatch at the bucket this image actually needs (plain-icon
+            # count from one real parse)
+            _, _, elements = self.parse_image(image_rgb)
+            need = sum(1 for e in elements
+                       if e["source"] == "box_yolo_content_yolo")
+            if need:
+                kb = 8
+                while kb < need:
+                    kb *= 2
+                kb = min(kb, self.fused.K)
+                cs = cfg.captioner.crop_size
+                out["decode"] = _cost_flops(
+                    self.fused._decode_fn(kb), self.fused.captioner.params,
+                    jax.ShapeDtypeStruct((kb, cs, cs, 3), jnp.float32),
+                )
         out["total"] = float(sum(out.values()))
         return out
 
     def warmup(self, shapes: Sequence[Tuple[int, int]] = ((1080, 1920), (2160, 3840)),
-               ocr_buckets: Sequence[int] = (32, 64, 128, 256)) -> None:
+               ocr_buckets: Sequence[int] = (32, 64, 128, 256),
+               cap_buckets: Sequence[int] = (8, 16, 32, 64, 128)) -> None:
         """Compile the device graphs for the common raw buckets AND (host-
         candidate mode only) every OCR slot bucket — blank warmup images
         yield ~0 candidates, which would otherwise leave the 64/128/256-slot
         fused variants to compile on the first dense-text production
         screenshot.  Device-candidate mode has a single fixed-slot graph
-        per raw bucket, so parse_image alone covers it."""
+        per raw bucket, so parse_image alone covers it.  Split-decode mode
+        additionally compiles the caption-decode graph per slot bucket
+        (blank images need 0 captions, so parses alone never compile them)."""
+        if self.fused.split_decode:
+            cs = self.config.captioner.crop_size
+            zeros = jnp.zeros((self.fused.K, cs, cs, 3), jnp.float32)
+            for kb in cap_buckets:
+                if kb <= self.fused.K:
+                    jax.block_until_ready(self.fused.decode_crops(
+                        self.fused.captioner.params, zeros, kb))
         for h, w in shapes:
             img = np.zeros((h, w, 3), np.uint8)
             self.parse_image(img)  # compiles ocr-det graph (+ fused graph)

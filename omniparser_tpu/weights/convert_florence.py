@@ -62,6 +62,7 @@ def convert_florence_state_dict(
     """Returns ({'params': tree}, unmatched_keys)."""
     params: Dict[str, Any] = {}
     unmatched: List[str] = []
+    tied_aliases: List[Tuple[str, np.ndarray]] = []
 
     # --- attention/dense rename tables -------------------------------- #
     lm_layer = {
@@ -83,18 +84,30 @@ def convert_florence_state_dict(
     }
     davit_norms = {"norm1": "norm1", "norm2": "norm2"}
     davit_cpe = {"conv1.fn.dw": "cpe1", "conv2.fn.dw": "cpe2"}
+    # transformers-native Florence2 spelling (transformers>=4.56 ships the
+    # model first-party; its re-uploaded checkpoints rename the remote-code
+    # modules): spatial/channel blocks are named, attn/ffn flattened, CPE
+    # convs lose the .fn.dw wrapper
+    davit_native = {
+        "window_attn.qkv": ("attn", "qkv"), "window_attn.proj": ("attn", "proj"),
+        "channel_attn.qkv": ("attn", "qkv"), "channel_attn.proj": ("attn", "proj"),
+        "ffn.fc1": ("mlp", "fc1"), "ffn.fc2": ("mlp", "fc2"),
+    }
+    davit_native_cpe = {"conv1": "cpe1", "conv2": "cpe2"}
 
     for key, v in sd.items():
-        k = key
+        # native full-model state dicts nest everything under `model.`
+        k = key.removeprefix("model.")
         is_weight = k.endswith(".weight")
         is_bias = k.endswith(".bias")
         base = k.rsplit(".", 1)[0]
 
         # ---------------- vision tower ---------------- #
-        m = re.match(r"vision_tower\.convs\.(\d)\.(proj|norm)$", base)
+        # conv embeds: remote code names the conv `proj`, native `conv`
+        m = re.match(r"vision_tower\.convs\.(\d)\.(proj|conv|norm)$", base)
         if m:
             s, kind = m.groups()
-            if kind == "proj":
+            if kind != "norm":
                 _set(params, ["vision", "davit", f"patch_embed{s}_conv"],
                      "kernel" if is_weight else "bias", _conv(v) if is_weight else v)
             else:
@@ -113,6 +126,29 @@ def convert_florence_state_dict(
             elif rest in davit_dense:
                 sub = "attn" if rest.startswith("attn") else "mlp"
                 _set(params, root + [sub, davit_dense[rest]],
+                     "kernel" if is_weight else "bias", _lin(v) if is_weight else v)
+            elif rest in davit_norms:
+                _set(params, root + [davit_norms[rest]], "scale" if is_weight else "bias", v)
+            else:
+                unmatched.append(key)
+            continue
+
+        m = re.match(
+            r"vision_tower\.blocks\.(\d)\.(\d+)\.(spatial_block|channel_block)\.(.+)$",
+            base,
+        )
+        if m:  # transformers-native block spelling
+            s, d, half, rest = m.groups()
+            blk = f"stage{s}_blk{d}_" + (
+                "spatial" if half == "spatial_block" else "channel"
+            )
+            root = ["vision", "davit", blk]
+            if rest in davit_native_cpe:
+                _set(params, root + [davit_native_cpe[rest], "proj"],
+                     "kernel" if is_weight else "bias", _conv(v) if is_weight else v)
+            elif rest in davit_native:
+                sub, leaf = davit_native[rest]
+                _set(params, root + [sub, leaf],
                      "kernel" if is_weight else "bias", _lin(v) if is_weight else v)
             elif rest in davit_norms:
                 _set(params, root + [davit_norms[rest]], "scale" if is_weight else "bias", v)
@@ -145,6 +181,10 @@ def convert_florence_state_dict(
             # BART weight tying: these are views of `shared`. torch
             # state_dicts include the duplicates, safetensors saves drop
             # them — either way `shared` is the single source of truth.
+            # Recorded so the post-pass can (a) recover `shared` when the
+            # checkpoint's dedup kept an alias name instead, and (b) warn
+            # on a genuinely untied (fine-tuned) head being dropped.
+            tied_aliases.append((lk, v))
             continue
         if lbase == "shared":
             _set(params, ["language_model", "shared"], "embedding", v)
@@ -184,6 +224,27 @@ def convert_florence_state_dict(
     vis = params.setdefault("vision", {})
     if "visual_temporal_embed" not in vis:
         vis["visual_temporal_embed"] = _cosine_embedding(1, dims.embed_dims[-1])
+
+    # tied-weight post-pass: which alias name survives a checkpoint's
+    # dedup depends on the remote code's _tied_weights_keys — if `shared`
+    # itself was dropped, recover it from an alias; if an alias DIFFERS
+    # from shared (untied / fine-tuned lm_head), warn instead of silently
+    # ignoring it (the Florence2 module always ties, so it cannot be kept)
+    lm = params.setdefault("language_model", {})
+    if tied_aliases and "shared" not in lm:
+        name, v = tied_aliases[0]
+        lm["shared"] = {"embedding": v}
+    if "shared" in lm:
+        ref = lm["shared"]["embedding"]
+        for name, v in tied_aliases:
+            if v.shape != ref.shape or not np.array_equal(v, ref):
+                import warnings
+
+                warnings.warn(
+                    f"tied alias {name} differs from shared embedding — "
+                    "an untied (fine-tuned) head cannot be represented by "
+                    "the weight-tied Florence2 module and was dropped"
+                )
 
     return {"params": params}, unmatched
 

@@ -44,7 +44,10 @@ def _set(tree, path, leaf, value):
 
 _VIS = "model.vision_embed_tokens.img_processor.vision_model."
 _SKIP = re.compile(
-    r"(post_layernorm|glb_GN|sub_GN|rotary_emb\.inv_freq)"
+    # position_ids: a non-persistent CLIP buffer (arange, not a weight) that
+    # some transformers versions serialize — never something to convert
+    r"(post_layernorm|glb_GN|sub_GN|rotary_emb\.inv_freq|"
+    r"embeddings\.position_ids)"
 )
 
 

@@ -15,8 +15,9 @@ Coverage vs the remote-code gap:
     2-linear `img_projection` come from microsoft/Phi-3-vision remote code and
     stay synthesized — see weights/convert_phi3v.py docstring).
   * Florence-2: BartForConditionalGeneration under `language_model.` (authentic
-    BART half incl. tied-weight duplicates); the DaViT tower is remote code and
-    remains covered by the synthesizer round-trip only.
+    BART half incl. tied-weight duplicates) + the DaViT tower via the
+    first-party `Florence2VisionBackbone` (transformers>=4.56) — no component
+    of the Florence-2 converter depends on the synthesizer anymore.
 
 Reference loads these checkpoints via HF from_pretrained at
 /root/reference/util/utils.py:47-68.
@@ -113,8 +114,9 @@ def test_phi3v_converter_matches_real_hf_keys():
                for k, v in _np_sd(clip).items()})
     # img_projection is remote-code (2-linear MLP) — synthesized naming:
     rng = np.random.default_rng(0)
+    # projector consumes the 2x2-merged 4C patch features (manifest shape)
     sd["model.vision_embed_tokens.img_projection.0.weight"] = (
-        rng.standard_normal((d.lm_width, d.vision_width)).astype(np.float32))
+        rng.standard_normal((d.lm_width, 4 * d.vision_width)).astype(np.float32))
     sd["model.vision_embed_tokens.img_projection.0.bias"] = (
         np.zeros((d.lm_width,), np.float32))
     sd["model.vision_embed_tokens.img_projection.2.weight"] = (
@@ -137,6 +139,45 @@ def test_phi3v_converter_matches_real_hf_keys():
 # --------------------------------------------------------------------- #
 # Florence-2 language half (BART authentic; DaViT stays synthesizer)    #
 # --------------------------------------------------------------------- #
+
+def test_florence_converter_matches_real_hf_davit_keys():
+    """transformers>=4.56 ships Florence-2 first-party: the DaViT tower's
+    key spellings are now pinned against a genuine transformers state dict
+    (VERDICT r2 #5 — previously the tower was synthesizer-validated only).
+    The native port renames the remote-code modules (spatial_block /
+    channel_block, window_attn/channel_attn, ffn.fc1, bare conv1/conv2);
+    the converter accepts both spellings."""
+    Florence2VisionBackbone = pytest.importorskip(
+        "transformers.models.florence2.modeling_florence2"
+    ).Florence2VisionBackbone
+    from transformers import Florence2VisionConfig
+
+    from omniparser_tpu.models.florence2 import Florence2
+    from omniparser_tpu.weights.convert_florence import convert_florence_state_dict
+    from tests.test_florence import TINY
+
+    d = TINY
+    torch.manual_seed(0)
+    tower = Florence2VisionBackbone(Florence2VisionConfig(
+        depths=list(d.depths), embed_dim=list(d.embed_dims),
+        num_heads=list(d.num_heads), num_groups=list(d.num_groups),
+        patch_size=list(d.patch_size), patch_stride=list(d.patch_stride),
+        patch_padding=list(d.patch_padding), window_size=d.window_size,
+        mlp_ratio=d.mlp_ratio, projection_dim=d.d_model))
+    sd = {"vision_tower." + k: v for k, v in _np_sd(tower).items()}
+
+    variables, unmatched = convert_florence_state_dict(sd, d)
+    assert unmatched == [], f"real HF davit keys the converter missed: {unmatched}"
+
+    model = Florence2(dims=d)
+    ref = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 4), jnp.int32),
+        jnp.zeros((1, 3), jnp.int32)))
+    _check_shapes(ref["params"]["vision"]["davit"],
+                  variables["params"]["vision"]["davit"])
+
 
 def test_florence_converter_matches_real_hf_bart_keys():
     from transformers import BartConfig, BartForConditionalGeneration

@@ -95,7 +95,9 @@ def _synth_hf_state_dict(rng):
         add(p + "mlp.fc1.bias", d.vision_mlp)
         add(p + "mlp.fc2.weight", d.vision_width, d.vision_mlp)
         add(p + "mlp.fc2.bias", d.vision_width)
-    add("model.vision_embed_tokens.img_projection.0.weight", d.lm_width, d.vision_width)
+    # projector input is the 2x2-merged 4C features (HD transform base
+    # unit; see weights/manifests/phi3v_vision_prefix.json: [3072, 4096])
+    add("model.vision_embed_tokens.img_projection.0.weight", d.lm_width, 4 * d.vision_width)
     add("model.vision_embed_tokens.img_projection.0.bias", d.lm_width)
     add("model.vision_embed_tokens.img_projection.2.weight", d.lm_width, d.lm_width)
     add("model.vision_embed_tokens.img_projection.2.bias", d.lm_width)
