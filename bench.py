@@ -88,13 +88,20 @@ def main():
     pipeline = SOMPipeline(cfg)
     pipeline.parse_batch(imgs)  # warmup: compile every bucket's graphs
 
-    # single-screenshot latency (serving p50)
-    lat = []
+    # single-screenshot latency (serving p50); per-stage timings are the
+    # per-stage MEDIANS over the loop — a single tunnel stall otherwise
+    # misattributes seconds to whatever stage it hit (weather, PERF.md)
+    lat, stage_runs = [], []
     for _ in range(8):
         t = time.perf_counter()
         pipeline.parse_image(imgs[0])
         lat.append(time.perf_counter() - t)
+        stage_runs.append(dict(pipeline.last_timings))
     p50 = float(np.median(lat))
+    stage_med = {
+        k: float(np.median([r.get(k, 0.0) for r in stage_runs]))
+        for k in stage_runs[0]
+    }
 
     # pipelined batched throughput (the serving configuration; BASELINE
     # config 4 "multi-screenshot batched parse").  Median of 5 rounds damps
@@ -105,6 +112,9 @@ def main():
         pipeline.parse_batch(imgs)
         round_times.append(time.perf_counter() - t0)
     shots_per_sec = len(imgs) / float(np.median(round_times))
+    # best round: distinguishes tunnel weather from code regressions when
+    # comparing across runs (the median is the headline number)
+    best_shots_per_sec = len(imgs) / float(np.min(round_times))
 
     # MFU: XLA cost-model FLOPs of the device graphs for the p50 image
     import jax
@@ -112,7 +122,7 @@ def main():
     flops = pipeline.flops_per_parse(imgs[0])
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, 100e12)
     mfu = flops["total"] / (p50 * peak) if flops["total"] else 0.0
-    timings = pipeline.last_timings
+    timings = stage_med
     # device time = fused step + the OCR det+components dispatch (both are
     # device work).  With fused candidates (OcrConfig.fused_candidates,
     # default) the det dispatch chains into the fused step with no host
@@ -143,6 +153,7 @@ def main():
                 "value": round(shots_per_sec, 4),
                 "unit": "screenshots/sec",
                 "vs_baseline": round(shots_per_sec / BASELINE_SHOTS_PER_SEC, 4),
+                "best_round_shots_per_sec": round(best_shots_per_sec, 4),
                 "baseline_note": "assumed 0.6 s/frame A100 (public V2 figure); "
                                  "not measurable in-image — see PERF.md",
                 "p50_latency_s": round(p50, 4),
