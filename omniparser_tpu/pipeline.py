@@ -472,16 +472,25 @@ class SOMPipeline:
             jax.tree.map(
                 lambda a: a.copy_to_host_async() if hasattr(a, "copy_to_host_async") else None,
                 ctx["out"])
-        for ctx in ctxs:
-            # split-decode dispatches chain off each image's downloaded
-            # cap_valid count; image i's decode runs while image i+1's
-            # output still streams and earlier finishes occupy the host
+        # drain: download_i blocks until fused_i finishes computing (the
+        # device serializes the 8 fused steps — measured, the dominant
+        # phase), so run image i's host finish inside image i+1's wait gap
+        # instead of idling.  Captions are deferred: after the LAST download
+        # every image's slot count is known and ONE batched decode dispatch
+        # covers the whole batch (vs 8 serial scans, each behind fused_7 in
+        # the FIFO device queue anyway); the finish/overlay work overlaps it.
+        decode_handle = None
+        last = len(ctxs) - 1
+        for i, ctx in enumerate(ctxs):
             ctx["out"] = jax.device_get(ctx["out"])
-            self._dispatch_decode(ctx, ctx.pop("crops_dev", None))
+            if i == last:
+                decode_handle = self._dispatch_decode_batch(ctxs)
+            ctx["_result"] = self._stage_finish(ctx, defer_captions=True)
+        self._collect_decode_batch(decode_handle)
         results = []
         for ctx in ctxs:
-            self._collect_decode(ctx)
-            results.append(self._stage_finish(ctx))
+            self._fill_captions(ctx, ctx.pop("_icon_plain", []))
+            results.append(ctx.pop("_result"))
         return results
 
     # ----------------------------- stages ----------------------------- #
@@ -609,7 +618,100 @@ class SOMPipeline:
         if fut is not None:
             ctx["out"]["cap_tokens"] = np.asarray(jax.device_get(fut))
 
-    def _stage_finish(self, ctx: Dict):
+    # Cross-image batched caption decode (parse_batch only).  Eight serial
+    # per-image decode dispatches pay eight scan/dispatch overheads and
+    # stream the decoder weights eight times; packing every image's needed
+    # slots (compaction puts them at [:need]) into ONE decode over the
+    # shared per-kb graphs runs one KV-cache scan for the whole batch.
+    _DECODE_CHUNK = 256  # slots per decode dispatch (bounds graph variety)
+
+    def _dispatch_decode_batch(self, ctxs: Sequence[Dict]) -> List:
+        needy = []
+        for ctx in ctxs:
+            crops = ctx.pop("crops_dev", None)
+            need = 0
+            if crops is not None and "cap_valid" in ctx["out"]:
+                need = int(np.asarray(ctx["out"]["cap_valid"]).sum())
+            if need:
+                needy.append((ctx, crops, need))
+        if not needy:
+            return []
+        parts, offs, off = [], [], 0
+        for ctx, crops, need in needy:
+            parts.append(crops[:need])
+            offs.append((ctx, off, need))
+            off += need
+        futs, i, pos, remaining = [], 0, 0, off
+        while remaining > 0:
+            take = min(self._DECODE_CHUNK, remaining)
+            seg, got = [], 0
+            while got < take:
+                use = min(parts[i].shape[0] - pos, take - got)
+                seg.append(parts[i][pos:pos + use])
+                got += use
+                pos += use
+                if pos == parts[i].shape[0]:
+                    i += 1
+                    pos = 0
+            kb = 8
+            while kb < take:
+                kb *= 2
+            sel = jnp.concatenate(seg, axis=0) if len(seg) > 1 else seg[0]
+            if take < kb:
+                sel = jnp.concatenate(
+                    [sel, jnp.zeros((kb - take,) + tuple(sel.shape[1:]),
+                                    sel.dtype)], axis=0)
+            futs.append((self.fused._decode_fn(kb)(
+                self.fused.captioner.params, sel), take))
+            remaining -= take
+        return [futs, offs]
+
+    def _collect_decode_batch(self, handle) -> None:
+        if not handle:
+            return
+        futs, offs = handle
+        rows = [np.asarray(jax.device_get(f))[:n] for f, n in futs]
+        tokens = rows[0] if len(rows) == 1 else np.concatenate(rows, axis=0)
+        for ctx, off, need in offs:
+            ctx["out"]["cap_tokens"] = tokens[off:off + need]
+
+    def _fill_captions(self, ctx: Dict, icon_plain) -> None:
+        """Fill content-less icon elements with captions: fused tokens for
+        the first K slots; overflow via extra batches (reference:
+        util/utils.py:79-118 get_parsed_content_icon)."""
+        cfg = self.config
+        out = ctx["out"]
+        det_boxes = out["det_boxes"]
+        padded_dev, orig_hw = ctx["padded_dev"], ctx["orig_hw"]
+        plain_elems = [e for _, e in icon_plain]
+        if plain_elems and "cap_tokens" in out:
+            cap = self.fused.captioner
+            by_src = {int(s): tok for s, tok, v in
+                      zip(out["cap_src"], out["cap_tokens"], out["cap_valid"]) if v}
+            missing = []
+            for i, e in icon_plain:
+                tok = by_src.get(int(i))
+                if tok is not None:
+                    e["content"] = cap.tokens_to_text(tok)
+                else:
+                    missing.append((i, e))
+            if missing:  # > K content-less icons: batch the remainder
+                boxes_extra = np.stack([det_boxes[i] for i, _ in missing]).astype(np.float32)
+                caps = self._caption_boxes(padded_dev, orig_hw, boxes_extra)
+                for (_, e), c in zip(missing, caps):
+                    e["content"] = c
+        elif plain_elems and cfg.use_local_semantics:
+            if isinstance(self.captioner, NullCaptioner):
+                for e in plain_elems:
+                    e["content"] = "icon"
+            else:  # non-fusable captioner (BLIP-2 beam decode): batch here
+                boxes = np.stack([e["bbox"] for e in plain_elems]).astype(np.float32)
+                caps = self._caption_boxes(padded_dev, orig_hw, boxes)
+                for e, c in zip(plain_elems, caps):
+                    e["content"] = c
+        # use_local_semantics=False: icons keep content None (util/utils.py:463-465)
+
+    def _stage_finish(self, ctx: Dict, defer_captions: bool = False):
         cfg = self.config
         t0 = time.perf_counter()
         image_rgb = ctx["image"]
@@ -673,33 +775,13 @@ class SOMPipeline:
         plain_elems = [e for _, e in icon_plain]
         elements.extend(plain_elems)
 
-        # captions: fused tokens for the first K; overflow via extra batches
-        if plain_elems and "cap_tokens" in out:
-            cap = self.fused.captioner
-            by_src = {int(s): tok for s, tok, v in
-                      zip(out["cap_src"], out["cap_tokens"], out["cap_valid"]) if v}
-            missing = []
-            for i, e in icon_plain:
-                tok = by_src.get(int(i))
-                if tok is not None:
-                    e["content"] = cap.tokens_to_text(tok)
-                else:
-                    missing.append((i, e))
-            if missing:  # > K content-less icons: batch the remainder
-                boxes_extra = np.stack([det_boxes[i] for i, _ in missing]).astype(np.float32)
-                caps = self._caption_boxes(padded_dev, orig_hw, boxes_extra)
-                for (_, e), c in zip(missing, caps):
-                    e["content"] = c
-        elif plain_elems and cfg.use_local_semantics:
-            if isinstance(self.captioner, NullCaptioner):
-                for e in plain_elems:
-                    e["content"] = "icon"
-            else:  # non-fusable captioner (BLIP-2 beam decode): batch here
-                boxes = np.stack([e["bbox"] for e in plain_elems]).astype(np.float32)
-                caps = self._caption_boxes(padded_dev, orig_hw, boxes)
-                for e, c in zip(plain_elems, caps):
-                    e["content"] = c
-        # use_local_semantics=False: icons keep content None (util/utils.py:463-465)
+        if defer_captions:
+            # parse_batch: captions land later via the cross-image batched
+            # decode; annotate/label placement below never read `content`,
+            # so the overlay can be drawn while the decode still runs
+            ctx["_icon_plain"] = icon_plain
+        else:
+            self._fill_captions(ctx, icon_plain)
         ctx["t_assemble"] = time.perf_counter() - t0
 
         # --- SOM overlay --- #

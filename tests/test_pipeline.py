@@ -151,3 +151,39 @@ def test_max_som_side_downscales_overlay_only(rng):
     for v in coords.values():
         x, y, w, h = v
         assert 0 <= x <= 300 and 0 <= y <= 200
+
+
+def test_parse_batch_matches_single_with_captions(rng):
+    """parse_batch's cross-image batched caption decode + deferred caption
+    fill must reproduce parse_image exactly (boxes AND caption content) —
+    a parse must not depend on batching (util/omniparser.py:16-32).  The
+    tiny _DECODE_CHUNK forces the multi-chunk decode path too."""
+    from omniparser_tpu.models.florence2 import FlorenceCaptioner
+    from tests.test_florence import TINY
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(default_imgsz=128, max_detections=16,
+                                box_threshold=0.01),
+        captioner=CaptionerConfig(batch_size=8, crop_size=32,
+                                  max_new_tokens=4),
+        ocr=OcrConfig(backend="null"),
+        detector_weights=None,  # random-init: boxes on noise images
+    )
+    p = SOMPipeline(cfg, captioner=FlorenceCaptioner(cfg.captioner, dims=TINY))
+    p._DECODE_CHUNK = 4  # force >1 decode dispatch for the batch
+    images = [rng.integers(0, 255, (100, 120, 3), dtype=np.uint8)
+              for _ in range(3)]
+    batched = p.parse_batch(images)
+    assert len(batched) == 3
+    saw_caption = False
+    for img, (ann_b, coords_b, el_b) in zip(images, batched):
+        ann_s, coords_s, el_s = p.parse_image(img)
+        assert len(el_b) == len(el_s)
+        for a, b in zip(el_b, el_s):
+            np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-5)
+            assert a["content"] == b["content"] and a["source"] == b["source"]
+            saw_caption |= (a["source"] == "box_yolo_content_yolo"
+                            and a["content"] is not None)
+        np.testing.assert_array_equal(ann_b, ann_s)
+        assert coords_b == coords_s
+    assert saw_caption, "no captions decoded — the batched path went untested"
