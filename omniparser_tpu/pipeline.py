@@ -439,12 +439,18 @@ class SOMPipeline:
         t["device_step"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         self._dispatch_decode(ctx, crops_dev)
-        self._collect_decode(ctx)
         t["decode"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        result = self._stage_finish(ctx)
+        # host finish (element assembly + SOM overlay) never reads captions,
+        # so it runs WHILE the decode dispatch executes on device; the
+        # blocking collect below only pays the residual decode time
+        result = self._stage_finish(ctx, defer_captions=True)
         t["assemble"] = ctx["t_assemble"]
         t["annotate"] = time.perf_counter() - t0 - ctx["t_assemble"]
+        t0 = time.perf_counter()
+        self._collect_decode(ctx)
+        self._fill_captions(ctx, ctx.pop("_icon_plain", []))
+        t["decode"] += time.perf_counter() - t0
         self.last_timings = t
         return result
 
