@@ -460,24 +460,46 @@ class SOMPipeline:
         transfers and compute overlap across images (the reference parses
         strictly one request at a time).  Returns a list of parse_image
         tuples."""
-        ctxs = [self._stage_upload(img) for img in images]
-        if self._jax_ocr is not None:
-            for ctx in ctxs:  # dispatch all det nets before any download
-                ctx["ocr_fut"] = self._jax_ocr.dispatch_det(
-                    ctx["padded_dev"], ctx["orig_hw"], hw_host=(ctx["uh"], ctx["uw"])
-                )
-        for ctx in ctxs:
-            if not self._fused_ocr:
-                self._stage_ocr(ctx)
-            self._stage_dispatch(ctx, None, None)
-            ctx["crops_dev"] = ctx["out"].pop("crops", None)
-        for ctx in ctxs:
-            # start all device->host copies before any blocking download so
-            # image i+1's transfer streams while the host finishes image i
-            # (the finish stage is pure host work on a 1-core serving box)
+        def _start_download(ctx):
+            # start the device->host copies early so transfers stream while
+            # the device computes later images / the host finishes earlier
+            # ones (the finish stage is pure host work on a 1-core box)
             jax.tree.map(
                 lambda a: a.copy_to_host_async() if hasattr(a, "copy_to_host_async") else None,
                 ctx["out"])
+
+        if self._fused_ocr:
+            # fully interleaved software pipeline: each image's uploads
+            # block the host at tunnel wire speed, so dispatch image i's
+            # det+fused graphs BEFORE uploading image i+1 — the device
+            # crunches i while i+1's bytes are still on the wire (measured:
+            # the upload phase is the largest and most weather-exposed
+            # wall in a batched round)
+            ctxs = []
+            for img in images:
+                ctx = self._stage_upload(img)
+                ctx["ocr_fut"] = self._jax_ocr.dispatch_det(
+                    ctx["padded_dev"], ctx["orig_hw"], hw_host=(ctx["uh"], ctx["uw"])
+                )
+                self._stage_dispatch(ctx, None, None)
+                ctx["crops_dev"] = ctx["out"].pop("crops", None)
+                _start_download(ctx)
+                ctxs.append(ctx)
+        else:
+            # host-candidate OCR blocks on the det prob download inside
+            # _stage_ocr: keep the two-phase order (all uploads + det
+            # dispatches first) so no det wait serializes with an upload
+            ctxs = [self._stage_upload(img) for img in images]
+            if self._jax_ocr is not None:
+                for ctx in ctxs:  # dispatch all det nets before any download
+                    ctx["ocr_fut"] = self._jax_ocr.dispatch_det(
+                        ctx["padded_dev"], ctx["orig_hw"], hw_host=(ctx["uh"], ctx["uw"])
+                    )
+            for ctx in ctxs:
+                self._stage_ocr(ctx)
+                self._stage_dispatch(ctx, None, None)
+                ctx["crops_dev"] = ctx["out"].pop("crops", None)
+                _start_download(ctx)
         # drain: download_i blocks until fused_i finishes computing (the
         # device serializes the 8 fused steps — measured, the dominant
         # phase), so run image i's host finish inside image i+1's wait gap
