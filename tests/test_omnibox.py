@@ -174,3 +174,49 @@ def test_computer_tool_still_accepts_mock_json():
         assert len(base64.b64decode(b64)) > 100
     finally:
         vm.stop()
+
+
+# --------------------------------------------------------------------- #
+# Container definition structure (can't boot QEMU/KVM in this image, so  #
+# pin the contract of the files instead: reference Dockerfile:1-48 and   #
+# compose.yml:1-21 semantics — base image, exposed ports, KVM devices,   #
+# guest volumes feeding the firstboot + samba-share layout)              #
+# --------------------------------------------------------------------- #
+
+_OMNIBOX = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "omnibox")
+
+
+def test_dockerfile_structure():
+    text = open(os.path.join(_OMNIBOX, "Dockerfile")).read()
+    assert "FROM qemux/qemu-docker" in text  # same boot chain as reference
+    assert "EXPOSE 8006 3389 5000" in text   # NoVNC + RDP + control server
+    # guest payload baked into the image for the samba share
+    assert "COPY guest/ /omnibox/guest/" in text
+    assert "COPY setup/ /omnibox/setup/" in text
+    assert 'VERSION="win11e"' in text        # Win 11 Enterprise eval
+
+
+def test_compose_structure():
+    import yaml
+
+    with open(os.path.join(_OMNIBOX, "compose.yml")) as f:
+        compose = yaml.safe_load(f)
+    svc = compose["services"]["windows"]
+    assert svc["privileged"] is True
+    assert "/dev/kvm" in svc["devices"]
+    # VM sizing mirrors the reference (8G / 4 cores / 20G)
+    assert svc["environment"]["RAM_SIZE"] == "8G"
+    assert svc["environment"]["CPU_CORES"] == "4"
+    assert svc["environment"]["DISK_SIZE"] == "20G"
+    ports = set(svc["ports"])
+    assert "8006:8006" in ports and "5000:5000" in ports
+    mounts = {v.split(":")[1]: v.split(":")[0] for v in svc["volumes"]}
+    # firstboot OEM dir and the samba data share come from our guest bundle
+    assert mounts["/oem"].endswith("setup")
+    assert mounts["/data"].endswith("guest")
+    assert "/storage" in mounts  # persistent VM disk
+    # every host-side mount source exists in the repo
+    for target in ("/oem", "/data"):
+        src = os.path.join(_OMNIBOX, mounts[target].lstrip("./"))
+        assert os.path.isdir(src), src
