@@ -223,9 +223,30 @@ def predict(model, image, caption: str, box_threshold: float,
 
 
 def get_yolo_model(model_path: Optional[str] = None, variant: str = "n"):
-    """Reference: ultralytics YOLO(model_path) (util/utils.py:71-75).
+    """Reference: ultralytics YOLO(model_path), except any
+    `icon_detect_v3` path routes to the YOLOv9-E TorchScript wrapper —
+    OmniParser v2.0's default detector (util/utils.py:72-81,
+    util/yolov9.py:27-50).  Same routing here: icon_detect_v3 paths (or
+    an explicit 'v9*' variant) build the GELAN-family detector.
     Returns (Detector, params) — pass as `model=` to get_som_labeled_img."""
+    import pathlib
+
     import jax
+
+    if (variant.startswith("v9")
+            or (model_path and "icon_detect_v3" in pathlib.Path(model_path).parts)):
+        from omniparser_tpu.models.yolov9 import YOLOv9Detector
+        from omniparser_tpu.weights.convert_yolov9 import load_yolov9_params
+
+        det = YOLOv9Detector(
+            variant=(variant[2:] or "e") if variant.startswith("v9") else "e",
+            num_classes=1,
+        )
+        if model_path:
+            params = load_yolov9_params(model_path, det)
+        else:
+            params = det.init_params(jax.random.PRNGKey(0))
+        return det, params
 
     from omniparser_tpu.models.yolov8 import Detector
 

@@ -310,13 +310,25 @@ class SOMPipeline:
         rng: Optional[jax.Array] = None,
     ):
         self.config = config
-        self.detector = detector or Detector(
-            variant=config.detector.variant,
-            num_classes=config.detector.num_classes,
-            imgsz=config.detector.default_imgsz,
-            max_det=config.detector.max_detections,
-            prefilter=config.detector.prefilter_topk,
-        )
+        if detector is None:
+            # 'v9e' / 'v9c' select the GELAN family (OmniParser v2.0's
+            # default icon_detect_v3 is a YOLOv9-E, util/utils.py:72-81);
+            # plain letters stay YOLOv8 (the shipped det_synth family)
+            variant = config.detector.variant
+            det_cls = Detector
+            if variant.startswith("v9"):
+                from omniparser_tpu.models.yolov9 import YOLOv9Detector
+
+                det_cls = YOLOv9Detector
+                variant = variant[2:] or "e"
+            detector = det_cls(
+                variant=variant,
+                num_classes=config.detector.num_classes,
+                imgsz=config.detector.default_imgsz,
+                max_det=config.detector.max_detections,
+                prefilter=config.detector.prefilter_topk,
+            )
+        self.detector = detector
         if detector_params is None:
             weights = config.detector_weights
             if weights == "auto":
