@@ -228,7 +228,13 @@ def get_yolo_model(model_path: Optional[str] = None, variant: str = "n"):
     OmniParser v2.0's default detector (util/utils.py:72-81,
     util/yolov9.py:27-50).  Same routing here: icon_detect_v3 paths (or
     an explicit 'v9*' variant) build the GELAN-family detector.
-    Returns (Detector, params) — pass as `model=` to get_som_labeled_img."""
+    Returns (Detector, params) — pass as `model=` to get_som_labeled_img.
+
+    DELIBERATE default divergence: the reference with model_path=None
+    defaults to the YOLOv9-E wrapper (util/utils.py:78); here the no-path
+    no-variant default is YOLOv8-n, because the shipped trained
+    `det_synth` weights are v8-n and a random-init v9e would be slower
+    AND meaningless.  Pass variant='v9e' for reference-default behavior."""
     import pathlib
 
     import jax

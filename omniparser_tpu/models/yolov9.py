@@ -245,8 +245,12 @@ def preprocess_pil(image, image_size):
     """EXACT reference preprocessing (util/yolov9.py:73-87): LANCZOS
     resize with int-truncated dims, centered integer 114-pad.  Returns
     (float32 [H, W, 3] in [0,1], scale, pad_left, pad_top)."""
+    from pathlib import Path
+
     from PIL import Image
 
+    if isinstance(image, (str, Path)):  # util/yolov9.py:64-71 accepts paths
+        image = Image.open(image)
     if isinstance(image, np.ndarray):
         image = Image.fromarray(image)
     image = image.convert("RGB")
@@ -352,8 +356,12 @@ class YOLOv9Detector:
             top_cls = class_ids[top_idx]
             top_valid = top_scores > 0
             # torchvision.ops.batched_nms semantics: per-class via the
-            # coordinate-offset trick (classes never suppress each other)
-            offset = (top_cls.astype(jnp.float32) * (th + tw + 2.0))[:, None]
+            # coordinate-offset trick (classes never suppress each other).
+            # Data-dependent stride like torchvision's (max-min+1): unclamped
+            # DFL boxes can extend (REG_MAX-1)*32 px past the letterbox, so a
+            # th+tw constant could let adjacent classes overlap.
+            stride = top_boxes.max() - top_boxes.min() + 1.0
+            offset = (top_cls.astype(jnp.float32) * stride)[:, None]
             nb, ns, idx, nv = nms_fixed_shape(
                 top_boxes + offset, top_scores, top_valid, iou, max_det,
             )

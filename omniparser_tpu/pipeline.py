@@ -343,10 +343,23 @@ class SOMPipeline:
                     self.detector.init_params(rng or jax.random.PRNGKey(0)))}
                 detector_params = jax.device_put(
                     load_checkpoint(weights, like=like)["det"])
-            elif weights:  # ultralytics .pt / torch state_dict export
-                from omniparser_tpu.weights.convert_yolo import load_detector_params
+            elif weights:  # ultralytics .pt / torch state_dict export —
+                # dispatch on detector family: GELAN checkpoints carry
+                # yolov9-repo spellings the v8 converter would reject
+                from omniparser_tpu.models.yolov9 import YOLOv9Detector
 
-                detector_params = load_detector_params(weights, self.detector)
+                if isinstance(self.detector, YOLOv9Detector):
+                    from omniparser_tpu.weights.convert_yolov9 import (
+                        load_yolov9_params,
+                    )
+
+                    detector_params = load_yolov9_params(weights, self.detector)
+                else:
+                    from omniparser_tpu.weights.convert_yolo import (
+                        load_detector_params,
+                    )
+
+                    detector_params = load_detector_params(weights, self.detector)
             else:
                 detector_params = self.detector.init_params(rng or jax.random.PRNGKey(0))
         self.detector_params = detector_params

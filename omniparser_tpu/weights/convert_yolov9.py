@@ -178,10 +178,14 @@ def _route_leaf(our: List[str], leaf: List[str], v: np.ndarray,
         _set(stats, our + ["bn", "var"], v)
     elif leaf_key == "bn.num_batches_tracked":
         pass
-    elif leaf[-1] == "weight" and v.ndim == 4:
-        # bare head conv (cv*.{i}.2.weight): flax nn.Conv kernel + bias
+    elif leaf == ["weight"] and v.ndim == 4:
+        # bare head conv (cv*.{i}.2.weight): flax nn.Conv kernel + bias.
+        # Only a single-part leaf qualifies — head Sequential convs arrive
+        # from the DDetect branch with leaf=["weight"]/["bias"].  A two-part
+        # leaf like "bogus.weight" must NOT fall through here (the module
+        # contract: every unmatched source key is an ERROR, line 19).
         _set(params, our + ["kernel"], _kernel(v))
-    elif leaf[-1] == "bias":
+    elif leaf == ["bias"]:
         _set(params, our + ["bias"], v)
     else:
         unmatched.append(orig)

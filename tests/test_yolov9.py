@@ -303,3 +303,34 @@ def test_pipeline_accepts_v9_variant():
     img = np.full((60, 70, 3), 128, np.uint8)
     _ann, coords, elements = p.parse_image(img)
     assert isinstance(elements, list)
+
+
+def test_pipeline_routes_v9_pt_weights(tiny_det, tmp_path):
+    """SOMPipeline(variant='v9*', detector_weights='*.pt') must dispatch to
+    the YOLOv9 converter, not the v8 one (ADVICE r3: the v8 converter
+    rejects yolov9-repo spellings with a key/shape mismatch crash)."""
+    import jax
+    import torch
+
+    from omniparser_tpu.config import (CaptionerConfig, DetectorConfig,
+                                       OcrConfig, PipelineConfig)
+    from omniparser_tpu.pipeline import SOMPipeline
+
+    det, params = tiny_det
+    host = jax.tree.map(np.asarray, params)
+    sd = {k: torch.from_numpy(v.copy()) for k, v in _synth_sd(host).items()}
+    pt = tmp_path / "model.pt"
+    torch.save(sd, pt)
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(variant="v9test", num_classes=TINY["num_classes"],
+                                default_imgsz=64, max_detections=8,
+                                prefilter_topk=64),
+        captioner=CaptionerConfig(backend="null"),
+        ocr=OcrConfig(backend="null"),
+        detector_weights=str(pt),
+        use_local_semantics=False,
+    )
+    p = SOMPipeline(cfg)
+    got = jax.tree.map(np.asarray, p.detector_params)
+    _assert_trees_equal(host["params"], got["params"])
