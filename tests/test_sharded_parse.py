@@ -45,20 +45,25 @@ def tiny_pipeline():
 
 @pytest.fixture(scope="module")
 def trained_pipeline():
-    """Shipped synthetic-GUI-trained detector + captioner at their native
-    640 bucket (what serving actually runs)."""
+    """Shipped synthetic-GUI-trained detector + captioner + OCR at their
+    native 640 bucket (what serving actually runs).  The OCR backend is the
+    trained jax one (VERDICT r3 #3: text-element parity batched-vs-single
+    had never been verified while this fixture ran backend='null')."""
     from omniparser_tpu.models.florence2 import default_captioner_weights
     from omniparser_tpu.models.yolov8 import default_detector_weights
 
     cfg = PipelineConfig(
         detector=DetectorConfig(default_imgsz=640),
         captioner=CaptionerConfig(batch_size=16),
-        ocr=OcrConfig(backend="null"),
+        ocr=OcrConfig(backend="jax"),
     )
     if (default_detector_weights(cfg.detector) is None
             or default_captioner_weights() is None):
         pytest.skip("shipped trained checkpoints unavailable")
-    return SOMPipeline(cfg)
+    p = SOMPipeline(cfg)
+    if p._jax_ocr is None or not p._jax_ocr.weights:
+        pytest.skip("shipped trained OCR checkpoint unavailable")
+    return p
 
 
 def _iou(a, b):
@@ -125,3 +130,26 @@ def test_sharded_parse_pads_to_dp(mesh, tiny_pipeline, rng):
     images = [rng.integers(0, 255, (96, 96, 3), dtype=np.uint8) for _ in range(3)]
     results = sp.parse_images(images)  # 3 -> padded to 4 internally
     assert len(results) == 3
+
+
+def test_sharded_parse_warns_on_prefilter_overflow(mesh, rng):
+    """VERDICT r3 #3: no silent caps on the mesh route — the batched graph
+    runs detect with_stats=True and the finish stage warns per image when
+    the NMS prefilter window dropped above-threshold candidates."""
+    from omniparser_tpu.pipeline import SOMPipeline as SP
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(default_imgsz=128, max_detections=8,
+                                prefilter_topk=16, box_threshold=0.05),
+        captioner=CaptionerConfig(backend="null"),
+        ocr=OcrConfig(backend="null"),
+        detector_weights=None,
+        use_local_semantics=False,
+    )
+    p = SP(cfg)
+    sp = ShardedParse(p, mesh)
+    # random init + noise: ~every anchor scores ~0.5 > 0.05 -> overflow
+    images = [rng.integers(0, 255, (100, 120, 3), dtype=np.uint8)
+              for _ in range(4)]
+    with pytest.warns(RuntimeWarning, match="prefilter overflow"):
+        sp.parse_images(images)
