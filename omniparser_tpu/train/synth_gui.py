@@ -3,12 +3,26 @@
 The reference's icon detector is a YOLOv8 fine-tuned on GUI screenshots
 (README.md:39 icon_detect weights); those weights cannot be fetched in
 this environment, so the TPU-native detector trains here on procedurally
-rendered screens: colored panels + window chrome + text lines (negatives)
-+ icon-like glyphs (positives, single class 'interactable icon').
+rendered screens.
 
-Glyph families cover the shapes that dominate real GUI chrome: buttons,
-gears, hamburgers, magnifiers, arrows, stars, crosses, dots-grids,
-folders, toggles, and image-thumbnail noise patches.
+Round-4 domain randomization (VERDICT r3 #1: the synthetic-trained models
+lost to the reference on REAL screenshots — 34.2% vs 39.5%): scenes are
+now biased toward what real GUI pixels look like instead of uniformly
+random colors:
+
+  * themes — light / dark application palettes (white-ish or near-black
+    chrome, near-black/near-white text, a saturated accent color) with a
+    legacy fully-random mode kept for diversity;
+  * structure — menu bars, icon toolbars, taskbars, left icon rails with
+    labels, and desktop-style icon grids with captions, not just uniform
+    scatter;
+  * glyph families — 32 kinds covering the icons that actually appear in
+    the reference screenshots (bell, chat bubble, calendar, phone, cloud,
+    smiley, paper-plane, refresh, app grid, mic, camera, undo, B/I/U,
+    wifi, battery, music note, ... plus the original 14);
+  * rendering artifacts — icons draw 2x supersampled then LANCZOS-downs
+    (antialiased edges like real renderers), optional JPEG roundtrip,
+    slight blur (DPI scaling), panel gradients.
 
 Reuses the text machinery from train/synth_text.py so text looks like the
 OCR stage's training distribution (no detector/OCR domain mismatch).
@@ -16,16 +30,63 @@ OCR stage's training distribution (no detector/OCR domain mismatch).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+import io
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from omniparser_tpu.train.synth_text import _FONT_FILES, _font, sample_text
 
+# bump to invalidate /tmp training-data caches when generators change
+DATA_VERSION = 4
+
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",
     "plus", "dots", "folder", "toggle", "ring", "thumbnail", "chevron",
+    # round-4 families (matched to icons in /root/reference/imgs shots)
+    "bell", "chat", "calendar", "phone", "cloud", "smiley", "send",
+    "refresh", "grid", "mic", "camera", "undo", "bold", "italic",
+    "underline", "wifi", "battery", "music",
 )
+
+# real-GUI accent colors (material/fluent-ish)
+_ACCENTS = (
+    (0, 103, 192), (16, 124, 16), (196, 43, 28), (136, 23, 152),
+    (0, 120, 212), (255, 140, 0), (43, 136, 216), (234, 67, 53),
+    (52, 168, 83), (251, 188, 5), (66, 133, 244), (98, 100, 167),
+)
+
+
+class Theme:
+    """Light/dark GUI palette; None theme = legacy random colors."""
+
+    def __init__(self, rng, dark: bool):
+        self.dark = dark
+        j = lambda lo, hi: int(rng.integers(lo, hi))
+        if dark:
+            g = j(18, 50)
+            self.base = (g + j(-4, 5), g + j(-4, 5), g + j(-4, 8))
+            self.text = tuple(j(195, 250) for _ in range(3))
+            self.icon = tuple(j(150, 235) for _ in range(3))
+        else:
+            g = j(232, 256)
+            self.base = (g + j(-6, 1), g + j(-6, 1), g + j(-6, 1))
+            self.text = tuple(j(5, 70) for _ in range(3))
+            self.icon = tuple(j(40, 120) for _ in range(3))
+        self.accent = _ACCENTS[j(0, len(_ACCENTS))]
+
+    def panel(self, rng) -> Tuple[int, int, int]:
+        d = int(rng.integers(6, 30)) * (1 if self.dark else -1)
+        return tuple(int(np.clip(c + d, 0, 255)) for c in self.base)
+
+
+def sample_theme(rng) -> Optional[Theme]:
+    r = rng.random()
+    if r < 0.40:
+        return Theme(rng, dark=False)
+    if r < 0.68:
+        return Theme(rng, dark=True)
+    return None  # legacy fully-random colors
 
 
 def _rand_color(rng, base=None, min_contrast=70):
@@ -36,6 +97,11 @@ def _rand_color(rng, base=None, min_contrast=70):
     return tuple(int(x) for x in c)
 
 
+def _bold_font(size: int):
+    bold = [f for f in _FONT_FILES if "Bold" in f]
+    return _font((bold or _FONT_FILES)[0], size)
+
+
 def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
     """One glyph inside the s x s box at (x, y).  Returns the kind drawn
     (captioner training labels — train/train_captioner.py)."""
@@ -44,17 +110,16 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
     x2, y2 = x + s, y + s
     m = max(s // 6, 1)  # inner margin
     w = max(s // 10, 1)  # stroke width
+    cx, cy = x + s / 2, y + s / 2
     if kind == "button":
         r = max(s // 5, 2)
         draw.rounded_rectangle([x, y, x2, y2], radius=r,
                                fill=fg if rng.random() < 0.5 else None,
                                outline=fg, width=w)
         if rng.random() < 0.6:  # inner dot/bar
-            cx, cy = x + s // 2, y + s // 2
             q = max(s // 5, 1)
             draw.ellipse([cx - q, cy - q, cx + q, cy + q], fill=bg)
     elif kind == "gear":
-        cx, cy = x + s / 2, y + s / 2
         pts = []
         for i in range(16):
             ang = i * np.pi / 8
@@ -78,7 +143,6 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
             pts = [(x2 - m, y + s / 2), (x + m, y + m), (x + m, y2 - m)]
         draw.polygon(pts, fill=fg)
     elif kind == "star":
-        cx, cy = x + s / 2, y + s / 2
         pts = []
         for i in range(10):
             ang = -np.pi / 2 + i * np.pi / 5
@@ -89,17 +153,18 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
         draw.line([x + m, y + m, x2 - m, y2 - m], fill=fg, width=w)
         draw.line([x + m, y2 - m, x2 - m, y + m], fill=fg, width=w)
     elif kind == "plus":
-        cx, cy = x + s // 2, y + s // 2
         draw.rectangle([x + m, cy - w // 2, x2 - m, cy + w - w // 2], fill=fg)
         draw.rectangle([cx - w // 2, y + m, cx + w - w // 2, y2 - m], fill=fg)
     elif kind == "dots":
-        n = 3
-        for i in range(n):
-            for j in range(n):
-                cx = x + m + i * (s - 2 * m) // (n - 1)
-                cy = y + m + j * (s - 2 * m) // (n - 1)
-                q = max(s // 10, 1)
-                draw.ellipse([cx - q, cy - q, cx + q, cy + q], fill=fg)
+        # ellipsis (horizontal or vertical) — "more options".  The 3x3
+        # array moved to the 'grid' family ("apps icon"): the two must be
+        # visually distinct for the captioner to separate them.
+        q = max(s // 8, 1)
+        horiz = rng.random() < 0.5
+        for i in range(3):
+            t = m + q + i * (s - 2 * m - 2 * q) // 2
+            px, py = (x + t, cy) if horiz else (cx, y + t)
+            draw.ellipse([px - q, py - q, px + q, py + q], fill=fg)
     elif kind == "folder":
         draw.rectangle([x, y + s // 4, x2, y2], fill=fg)
         draw.rectangle([x, y + s // 8, x + s // 2, y + s // 4], fill=fg)
@@ -112,11 +177,145 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
     elif kind == "ring":
         draw.ellipse([x + 1, y + 1, x2 - 1, y2 - 1], outline=fg, width=w)
     elif kind == "chevron":
-        cx = x + s // 2
-        draw.line([x + m, y + m, cx, y + s // 2], fill=fg, width=w)
-        draw.line([cx, y + s // 2, x + m, y2 - m], fill=fg, width=w)
-        draw.line([cx, y + m, x2 - m, y + s // 2], fill=fg, width=w)
-        draw.line([x2 - m, y + s // 2, cx, y2 - m], fill=fg, width=w)
+        draw.line([x + m, y + m, cx, y + s / 2], fill=fg, width=w)
+        draw.line([cx, y + s / 2, x + m, y2 - m], fill=fg, width=w)
+        draw.line([cx, y + m, x2 - m, y + s / 2], fill=fg, width=w)
+        draw.line([x2 - m, y + s / 2, cx, y2 - m], fill=fg, width=w)
+    elif kind == "bell":
+        # dome + flared skirt + clapper (classic notification bell)
+        draw.pieslice([x + m, y + m // 2, x2 - m, y2 - m], 180, 360, fill=fg)
+        draw.polygon([(x + m, cy), (x2 - m, cy),
+                      (x2 - m // 2, y2 - m - s // 8),
+                      (x + m // 2, y2 - m - s // 8)], fill=fg)
+        q = max(s // 10, 1)
+        draw.ellipse([cx - q, y2 - m - q, cx + q, y2 - m + q], fill=fg)
+    elif kind == "chat":
+        draw.ellipse([x + 1, y + m // 2, x2 - 1, y2 - m - 1],
+                     fill=fg if rng.random() < 0.6 else None,
+                     outline=fg, width=w)
+        draw.polygon([(x + s // 4, y2 - m - 2), (x + s // 2, y2 - m - 2),
+                      (x + s // 5, y2 - 1)], fill=fg)
+    elif kind == "calendar":
+        draw.rectangle([x + 1, y + m, x2 - 1, y2 - 1], outline=fg, width=w)
+        draw.rectangle([x + 1, y + m, x2 - 1, y + m + max(s // 5, 2)], fill=fg)
+        for hx in (x + s // 3, x + 2 * s // 3):  # binding hangers
+            draw.rectangle([hx - w // 2, y, hx + w // 2, y + m + 1], fill=fg)
+        q = max(s // 12, 1)
+        for i in range(2):
+            for jj in range(3):
+                px = x + s // 4 + jj * s // 4
+                py = y + m + s // 3 + i * s // 4
+                draw.ellipse([px - q, py - q, px + q, py + q], fill=fg)
+    elif kind == "phone":
+        r = max(s // 4, 2)
+        draw.ellipse([x + m, y2 - m - r * 2, x + m + 2 * r, y2 - m], fill=fg)
+        draw.ellipse([x2 - m - 2 * r, y + m, x2 - m, y + m + 2 * r], fill=fg)
+        draw.line([x + m + r, y2 - m - r, x2 - m - r, y + m + r],
+                  fill=fg, width=max(w * 2, 3))
+    elif kind == "cloud":
+        # two bumps over a flat-bottomed base (real cloud glyphs are flat)
+        base_y = y2 - m - max(s // 10, 1)
+        draw.ellipse([x + m, cy - s // 8, cx, base_y], fill=fg)
+        draw.ellipse([cx - s // 4, y + m, x2 - m - s // 12, base_y], fill=fg)
+        draw.rounded_rectangle([x + m, cy + s // 8, x2 - m, base_y],
+                               radius=max(s // 8, 2), fill=fg)
+    elif kind == "smiley":
+        draw.ellipse([x + 1, y + 1, x2 - 1, y2 - 1], outline=fg, width=w)
+        q = max(s // 10, 1)
+        for ex in (cx - s // 5, cx + s // 5):
+            draw.ellipse([ex - q, cy - s // 5 - q, ex + q, cy - s // 5 + q],
+                         fill=fg)
+        draw.arc([x + s // 4, y + s // 4, x2 - s // 4, y2 - s // 5],
+                 20, 160, fill=fg, width=w)
+    elif kind == "send":
+        draw.polygon([(x + m // 2, y + m), (x2 - m // 2, cy),
+                      (x + m // 2, y2 - m), (x + m + s // 4, cy)], fill=fg)
+    elif kind == "refresh":
+        draw.arc([x + m, y + m, x2 - m, y2 - m], 300, 210, fill=fg, width=w)
+        ax = cx + (s / 2 - m) * np.cos(-np.pi / 3)
+        ay = cy + (s / 2 - m) * np.sin(-np.pi / 3)
+        q = max(s // 5, 2)
+        draw.polygon([(ax + q, ay - q // 2), (ax - q // 2, ay - q // 2),
+                      (ax + q // 4, ay + q)], fill=fg)
+    elif kind == "grid":
+        q = max(s // 10, 1)
+        round_ = rng.random() < 0.6
+        for i in range(3):
+            for jj in range(3):
+                px = x + m + jj * (s - 2 * m) // 2
+                py = y + m + i * (s - 2 * m) // 2
+                if round_:
+                    draw.ellipse([px - q, py - q, px + q, py + q], fill=fg)
+                else:
+                    draw.rectangle([px - q, py - q, px + q, py + q], fill=fg)
+    elif kind == "mic":
+        r = max(s // 5, 2)
+        draw.rounded_rectangle([cx - r, y + m, cx + r, cy + r], radius=r,
+                               fill=fg)
+        draw.arc([cx - 2 * r, y + m + r, cx + 2 * r, cy + 2 * r], 0, 180,
+                 fill=fg, width=w)
+        draw.line([cx, cy + 2 * r, cx, y2 - m], fill=fg, width=w)
+        draw.line([cx - r, y2 - m, cx + r, y2 - m], fill=fg, width=w)
+    elif kind == "camera":
+        draw.rounded_rectangle([x + 1, y + m + 1, x2 - 1, y2 - m], radius=2,
+                               outline=fg, width=w)
+        draw.rectangle([cx - s // 6, y + m - s // 8, cx + s // 6, y + m + 1],
+                       fill=fg)
+        q = max(s // 5, 2)
+        draw.ellipse([cx - q, cy - q + m // 2, cx + q, cy + q + m // 2],
+                     outline=fg, width=w)
+    elif kind == "undo":
+        draw.arc([x + m, y + m, x2 - m, y2 - m], 90, 315, fill=fg, width=w)
+        ax, ay = x + m, cy - (s / 2 - m) * 0.0 - (s / 2 - m)
+        q = max(s // 5, 2)
+        draw.polygon([(x + m - q // 2, y + m + q), (x + m + q, y + m - q // 2),
+                      (x + m + q, y + m + q)], fill=fg)
+    elif kind in ("bold", "italic", "underline"):
+        ch = {"bold": "B", "italic": "I", "underline": "U"}[kind]
+        f = _bold_font(max(s - 2, 6)) if kind == "bold" else \
+            _font(_FONT_FILES[0], max(s - 2, 6))
+        bx0, by0, bx1, by1 = draw.textbbox((0, 0), ch, font=f)
+        tw, th = bx1 - bx0, by1 - by0
+        ox = x + (s - tw) // 2 - bx0
+        oy = y + (s - (th if kind != "underline" else th + w + 2)) // 2 - by0
+        draw.text((ox, oy), ch, fill=fg, font=f)
+        if kind == "underline":
+            uy = oy + by1 + 2
+            draw.line([x + m, min(uy, y2 - 1), x2 - m, min(uy, y2 - 1)],
+                      fill=fg, width=w)
+    elif kind == "wifi":
+        for i, rr in enumerate((s * 0.48, s * 0.33, s * 0.18)):
+            draw.arc([cx - rr, cy - rr + s // 5, cx + rr, cy + rr + s // 5],
+                     225, 315, fill=fg, width=w)
+        q = max(s // 10, 1)
+        draw.ellipse([cx - q, y2 - m - 2 * q, cx + q, y2 - m], fill=fg)
+    elif kind == "battery":
+        horiz = rng.random() < 0.7
+        if horiz:
+            draw.rectangle([x + 1, y + s // 4, x2 - m - 1, y2 - s // 4],
+                           outline=fg, width=w)
+            draw.rectangle([x2 - m, cy - s // 8, x2 - 1, cy + s // 8], fill=fg)
+            lvl = rng.uniform(0.2, 1.0)
+            draw.rectangle([x + 1 + w, y + s // 4 + w,
+                            x + 1 + w + (s - m - 2 - 2 * w) * lvl,
+                            y2 - s // 4 - w], fill=fg)
+        else:
+            draw.rectangle([x + s // 4, y + m, x2 - s // 4, y2 - 1],
+                           outline=fg, width=w)
+            draw.rectangle([cx - s // 8, y, cx + s // 8, y + m], fill=fg)
+    elif kind == "music":
+        q = max(s // 5, 2)
+        draw.ellipse([x + m, y2 - m - 2 * q, x + m + 2 * q, y2 - m], fill=fg)
+        draw.ellipse([x2 - m - 2 * q, y2 - m - 3 * q, x2 - m, y2 - m - q],
+                     fill=fg)
+        draw.line([x + m + 2 * q - w, y + m, x + m + 2 * q - w, y2 - m - q],
+                  fill=fg, width=w)
+        draw.line([x2 - m - w, y + m - q // 2, x2 - m - w, y2 - m - 2 * q],
+                  fill=fg, width=w)
+        draw.polygon([(x + m + 2 * q - w - 1, y + m),
+                      (x2 - m - 1, y + m - q // 2),
+                      (x2 - m - 1, y + m + q), (x + m + 2 * q - w - 1,
+                                                y + m + q * 3 // 2)], fill=fg)
     else:  # thumbnail: structured noise patch
         noise = np.random.default_rng(int(rng.integers(1 << 31))).integers(
             0, 255, (max(s // 4, 2), max(s // 4, 2), 3), dtype=np.uint8)
@@ -127,25 +326,61 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
     return kind
 
 
+def _paste_icon(canvas, rng, x, y, s, fg, bg, kind=None, aa=None) -> str:
+    """Draw one glyph, 2x supersampled + LANCZOS downscale (real renderers
+    antialias; PIL primitives do not).  aa=None -> random 70%."""
+    from PIL import Image, ImageDraw
+
+    if aa is None:
+        aa = rng.random() < 0.7
+    if not aa or kind == "thumbnail" or s < 8:
+        return _draw_icon(ImageDraw.Draw(canvas), rng, x, y, s, fg, bg, kind)
+    up = canvas.crop((x, y, x + s, y + s)).resize((2 * s, 2 * s),
+                                                  Image.NEAREST)
+    kind = _draw_icon(ImageDraw.Draw(up), rng, 0, 0, 2 * s, fg, bg, kind)
+    canvas.paste(up.resize((s, s), Image.LANCZOS), (x, y))
+    return kind
+
+
+def _postprocess(arr: np.ndarray, rng) -> np.ndarray:
+    """Screenshot-domain artifacts: noise, JPEG roundtrip, slight blur."""
+    from PIL import Image, ImageFilter
+
+    if rng.random() < 0.4:
+        arr = arr + rng.normal(0.0, rng.uniform(1.0, 5.0), arr.shape)
+    out = np.clip(arr, 0, 255).astype(np.uint8)
+    if rng.random() < 0.20:  # DPI-scaling blur
+        im = Image.fromarray(out).filter(
+            ImageFilter.GaussianBlur(rng.uniform(0.3, 0.8)))
+        out = np.asarray(im)
+    if rng.random() < 0.30:  # JPEG artifacts (demo_image.jpg is JPEG)
+        buf = io.BytesIO()
+        Image.fromarray(out).save(buf, "JPEG",
+                                  quality=int(rng.integers(45, 92)))
+        out = np.asarray(Image.open(buf).convert("RGB"))
+    return out
+
+
 def render_icon_tile(
     rng: np.random.Generator, tile: int = 96, kind: str | None = None,
 ) -> Tuple[np.ndarray, str, List[int]]:
     """One icon glyph on a GUI-ish background tile (captioner training).
 
     Returns (RGB uint8 [tile,tile,3], kind, glyph box xyxy px).  The
-    glyph gets the same size/color statistics as render_gui_scene icons;
-    the surrounding tile leaves room for detector-box jitter when the
-    caller crops.
+    glyph gets the same size/color/theme statistics as render_gui_scene
+    icons; ~25% of tiles add a nearby text label (real crops often catch
+    neighboring label text).
     """
     from PIL import Image, ImageDraw
 
-    base = tuple(int(x) for x in rng.integers(0, 256, 3))
+    theme = sample_theme(rng)
+    base = theme.base if theme else tuple(int(x) for x in rng.integers(0, 256, 3))
     img = Image.new("RGB", (tile, tile), base)
     draw = ImageDraw.Draw(img)
     # panel edge / separator clutter like real scenes
     if rng.random() < 0.4:
-        shade = tuple(int(np.clip(c + rng.integers(-60, 60), 0, 255))
-                      for c in base)
+        shade = theme.panel(rng) if theme else tuple(
+            int(np.clip(c + rng.integers(-60, 60), 0, 255)) for c in base)
         if rng.random() < 0.5:
             y = int(rng.integers(0, tile))
             draw.rectangle([0, y, tile, tile], fill=shade)
@@ -158,19 +393,29 @@ def render_icon_tile(
     y = int(rng.integers(2, tile - s - 1))
     local = tuple(int(c) for c in
                   arr_probe[y:y + s, x:x + s].reshape(-1, 3).mean(0))
-    fg = _rand_color(rng, local)
-    kind = _draw_icon(draw, rng, x, y, s, fg, local, kind=kind)
-    arr = np.asarray(img, np.float32)
-    if rng.random() < 0.4:
-        arr = arr + rng.normal(0.0, rng.uniform(1.0, 5.0), arr.shape)
-    return np.clip(arr, 0, 255).astype(np.uint8), kind, [x, y, x + s, y + s]
+    if theme and rng.random() < 0.8:
+        fg = theme.accent if rng.random() < 0.25 else theme.icon
+        if abs(int(np.mean(fg)) - int(np.mean(local))) < 60:
+            fg = theme.text
+    else:
+        fg = _rand_color(rng, local)
+    kind = _paste_icon(img, rng, x, y, s, fg, local, kind=kind)
+    if rng.random() < 0.25:  # neighboring label text in the tile
+        label = sample_text(rng, max_chars=10)
+        f = _font(_FONT_FILES[int(rng.integers(0, len(_FONT_FILES)))],
+                  int(rng.integers(9, 14)))
+        tc = theme.text if theme else _rand_color(rng, base)
+        ly = y + s + 2 if y + s + 14 < tile else max(y - 14, 0)
+        draw.text((max(x - 4, 0), ly), label, fill=tc, font=f)
+    return _postprocess(np.asarray(img, np.float32), rng), kind, \
+        [x, y, x + s, y + s]
 
 
 def render_gui_scene(
     rng: np.random.Generator, size: int = 640, max_icons: int = 48,
     max_texts: int = 20, return_kinds: bool = False,
 ) -> Tuple[np.ndarray, List[List[int]], List[List[int]], List[str]]:
-    """A colored GUI-like screen.
+    """A GUI-like screen.
 
     Returns (RGB uint8 [size,size,3], icon boxes xyxy px, text boxes, texts)
     — plus the per-icon glyph kinds when return_kinds (captioner e2e gate).
@@ -179,29 +424,16 @@ def render_gui_scene(
     """
     from PIL import Image, ImageDraw
 
-    base = tuple(int(x) for x in rng.integers(0, 256, 3))
+    theme = sample_theme(rng)
+    base = theme.base if theme else tuple(int(x) for x in rng.integers(0, 256, 3))
     canvas = Image.new("RGB", (size, size), base)
     draw = ImageDraw.Draw(canvas)
 
-    # panels / chrome
-    for _ in range(int(rng.integers(2, 9))):
-        x1, y1 = int(rng.integers(0, size - 20)), int(rng.integers(0, size - 20))
-        x2 = int(rng.integers(x1 + 16, min(x1 + size, size)))
-        y2 = int(rng.integers(y1 + 16, min(y1 + size, size)))
-        shade = tuple(int(np.clip(c + rng.integers(-60, 60), 0, 255)) for c in base)
-        if rng.random() < 0.6:
-            draw.rectangle([x1, y1, x2, y2], fill=shade)
-        else:
-            draw.rectangle([x1, y1, x2, y2], outline=shade,
-                           width=int(rng.integers(1, 4)))
-    for _ in range(int(rng.integers(0, 4))):  # separators
-        y = int(rng.integers(0, size))
-        draw.line([(0, y), (size, y)],
-                  fill=tuple(int(np.clip(c + rng.integers(-50, 50), 0, 255))
-                             for c in base), width=1)
-
     occupied = np.zeros((size, size), bool)
-    arr_probe = np.asarray(canvas)
+    texts: List[str] = []
+    text_boxes: List[List[int]] = []
+    icon_boxes: List[List[int]] = []
+    kinds: List[str] = []
 
     def free(x, y, w, h, g=4):
         ys, ye = max(y - g, 0), min(y + h + g, size)
@@ -212,50 +444,182 @@ def render_gui_scene(
         occupied[max(y - g, 0):min(y + h + g, size),
                  max(x - g, 0):min(x + w + g, size)] = True
 
-    # text lines (detector negatives)
-    texts: List[str] = []
-    text_boxes: List[List[int]] = []
-    for _ in range(int(rng.integers(max_texts // 2, max_texts + 1))):
-        text = sample_text(rng)
-        sizept = int(rng.integers(10, 26))
-        font = _font(_FONT_FILES[int(rng.integers(0, len(_FONT_FILES)))], sizept)
+    def panel_color():
+        if theme:
+            return theme.panel(rng)
+        return tuple(int(np.clip(c + rng.integers(-60, 60), 0, 255))
+                     for c in base)
+
+    def pick_fg(local):
+        if theme and rng.random() < 0.8:
+            fg = theme.accent if rng.random() < 0.2 else theme.icon
+            if abs(int(np.mean(fg)) - int(np.mean(local))) < 60:
+                fg = theme.text
+            return fg
+        return _rand_color(rng, local)
+
+    def text_color(local_mean):
+        if theme and rng.random() < 0.85:
+            return theme.accent if rng.random() < 0.12 else theme.text
+        return ((0, 0, 0) if local_mean > 128 else (255, 255, 255)) \
+            if rng.random() < 0.7 else _rand_color(rng, base)
+
+    def put_text(x, y, text, sizept) -> bool:
+        font = _font(_FONT_FILES[int(rng.integers(0, len(_FONT_FILES)))],
+                     sizept)
         probe = ImageDraw.Draw(Image.new("L", (8, 8)))
         bx0, by0, bx1, by1 = probe.textbbox((0, 0), text, font=font)
         tw, th = bx1 - bx0, by1 - by0
-        if tw < 2 or th < 2 or tw >= size - 4 or th >= size - 4:
-            continue
-        x = int(rng.integers(1, size - tw - 1))
-        y = int(rng.integers(1, size - th - 1))
+        if tw < 2 or th < 2 or x + tw >= size - 1 or y + th >= size - 1:
+            return False
         if not free(x, y, tw, th):
-            continue
-        local = arr_probe[y:y + th, x:x + tw].mean()
-        fg = ((0, 0, 0) if local > 128 else (255, 255, 255)) \
-            if rng.random() < 0.7 else _rand_color(rng, base)
-        draw.text((x - bx0, y - by0), text, fill=fg, font=font)
+            return False
+        local = np.asarray(canvas)[y:y + th, x:x + tw].mean()
+        draw.text((x - bx0, y - by0), text, fill=text_color(local), font=font)
         claim(x, y, tw, th)
         texts.append(text)
         text_boxes.append([x, y, x + tw, y + th])
+        return True
 
-    # icons (detector positives)
-    icon_boxes: List[List[int]] = []
-    kinds: List[str] = []
-    for _ in range(int(rng.integers(max_icons // 2, max_icons + 1))):
-        s = int(rng.integers(14, 56))
-        x = int(rng.integers(1, size - s - 1))
-        y = int(rng.integers(1, size - s - 1))
-        if not free(x, y, s, s):
-            continue
-        local = tuple(int(c) for c in
-                      arr_probe[y:y + s, x:x + s].reshape(-1, 3).mean(0))
-        fg = _rand_color(rng, local)
-        kinds.append(_draw_icon(draw, rng, x, y, s, fg, local))
+    def put_icon(x, y, s, kind=None) -> bool:
+        if x + s >= size - 1 or y + s >= size - 1 or not free(x, y, s, s):
+            return False
+        local = tuple(int(c) for c in np.asarray(canvas)[
+            y:y + s, x:x + s].reshape(-1, 3).mean(0))
+        kinds.append(_paste_icon(canvas, rng, x, y, s, pick_fg(local),
+                                 local, kind=kind))
         claim(x, y, s, s)
         icon_boxes.append([x, y, x + s, y + s])
+        return True
 
-    arr = np.asarray(canvas, np.float32)
-    if rng.random() < 0.4:
-        arr = arr + rng.normal(0.0, rng.uniform(1.0, 5.0), arr.shape)
-    out = np.clip(arr, 0, 255).astype(np.uint8)
+    # ------------------------- panels / chrome ------------------------- #
+    n_panels = int(rng.integers(2, 7 if theme else 9))
+    for _ in range(n_panels):
+        if theme and rng.random() < 0.6:
+            # axis-aligned panes like real apps: sidebar / header / column
+            kind = rng.integers(0, 4)
+            if kind == 0:  # left sidebar
+                x1, y1 = 0, int(rng.integers(0, size // 8))
+                x2_, y2_ = int(rng.integers(size // 8, size // 3)), size
+            elif kind == 1:  # header strip
+                x1, y1 = 0, 0
+                x2_, y2_ = size, int(rng.integers(size // 16, size // 6))
+            elif kind == 2:  # bottom strip
+                x1, y1 = 0, int(rng.integers(size * 7 // 8, size - 10))
+                x2_, y2_ = size, size
+            else:  # content card
+                x1 = int(rng.integers(0, size // 2))
+                y1 = int(rng.integers(0, size // 2))
+                x2_ = int(rng.integers(x1 + 40, size))
+                y2_ = int(rng.integers(y1 + 40, size))
+        else:
+            x1, y1 = int(rng.integers(0, size - 20)), int(rng.integers(0, size - 20))
+            x2_ = int(rng.integers(x1 + 16, min(x1 + size, size)))
+            y2_ = int(rng.integers(y1 + 16, min(y1 + size, size)))
+        shade = panel_color()
+        if rng.random() < 0.25:  # vertical gradient fill
+            g2 = panel_color()
+            h = max(y2_ - y1, 1)
+            grad = np.linspace(0, 1, h)[:, None] * (np.array(g2, float)
+                                                    - np.array(shade, float))
+            block = (np.array(shade, float)[None, None]
+                     + grad[:, None]).astype(np.uint8)
+            block = np.broadcast_to(block, (h, max(x2_ - x1, 1), 3))
+            canvas.paste(Image.fromarray(np.ascontiguousarray(block)),
+                         (x1, y1))
+        elif rng.random() < 0.7:
+            draw.rectangle([x1, y1, x2_, y2_], fill=shade)
+        else:
+            draw.rectangle([x1, y1, x2_, y2_], outline=shade,
+                           width=int(rng.integers(1, 4)))
+    for _ in range(int(rng.integers(0, 4))):  # separators
+        y = int(rng.integers(0, size))
+        draw.line([(0, y), (size, y)], fill=panel_color(), width=1)
+
+    # --------------------- structured element bands -------------------- #
+    # menu bar: short words in a row near the top
+    if rng.random() < 0.55:
+        y = int(rng.integers(2, size // 12))
+        x = int(rng.integers(2, size // 8))
+        pt = int(rng.integers(10, 16))
+        for _ in range(int(rng.integers(4, 9))):
+            word = sample_text(rng, max_chars=9).split(" ")[0] or "File"
+            font = _font(_FONT_FILES[0], pt)
+            probe = ImageDraw.Draw(Image.new("L", (8, 8)))
+            b = probe.textbbox((0, 0), word, font=font)
+            if not put_text(x, y, word, pt):
+                break
+            x += (b[2] - b[0]) + int(rng.integers(14, 34))
+            if x >= size - 30:
+                break
+
+    # icon toolbar row / taskbar row / left rail / desktop grid
+    if rng.random() < 0.55 and len(icon_boxes) < max_icons:
+        s = int(rng.integers(14, 30))
+        y = int(rng.integers(2, size // 3))
+        x = int(rng.integers(2, size // 4))
+        gap = int(rng.integers(s // 2, s * 2))
+        for _ in range(int(rng.integers(4, 12))):
+            if len(icon_boxes) >= max_icons or x + s >= size - 2:
+                break
+            put_icon(x, y, s)
+            x += s + gap
+    if rng.random() < 0.35 and len(icon_boxes) < max_icons:  # taskbar
+        s = int(rng.integers(16, 34))
+        y = size - s - int(rng.integers(3, 12))
+        x = int(rng.integers(size // 4, size // 2))
+        for _ in range(int(rng.integers(4, 10))):
+            if len(icon_boxes) >= max_icons or x + s >= size - 2:
+                break
+            put_icon(x, y, s)
+            x += s + int(rng.integers(6, 18))
+    if rng.random() < 0.30 and len(icon_boxes) < max_icons:  # left rail
+        s = int(rng.integers(16, 30))
+        x = int(rng.integers(2, size // 10))
+        y = int(rng.integers(size // 8, size // 3))
+        for _ in range(int(rng.integers(3, 9))):
+            if len(icon_boxes) >= max_icons or y + s + 16 >= size - 2:
+                break
+            if put_icon(x, y, s) and rng.random() < 0.7:
+                put_text(max(x - 4, 0), y + s + 2,
+                         sample_text(rng, max_chars=9).split(" ")[0] or "App",
+                         int(rng.integers(8, 12)))
+            y += s + int(rng.integers(22, 44))
+    if rng.random() < 0.25 and len(icon_boxes) < max_icons:  # desktop grid
+        s = int(rng.integers(22, 44))
+        gx = int(rng.integers(4, size // 6))
+        gy = int(rng.integers(4, size // 4))
+        stepx = s + int(rng.integers(30, 70))
+        stepy = s + int(rng.integers(26, 50))
+        for iy in range(int(rng.integers(2, 4))):
+            for ix in range(int(rng.integers(2, 5))):
+                x = gx + ix * stepx
+                y = gy + iy * stepy
+                if len(icon_boxes) >= max_icons or x + s >= size - 2 \
+                        or y + s + 16 >= size - 2:
+                    continue
+                if put_icon(x, y, s) and rng.random() < 0.8:
+                    put_text(max(x - 6, 0), y + s + 2,
+                             sample_text(rng, max_chars=11).split(" ")[0]
+                             or "File", int(rng.integers(9, 13)))
+
+    # ------------------- free-scatter texts and icons ------------------ #
+    for _ in range(int(rng.integers(max_texts // 2, max_texts + 1))):
+        if len(texts) >= max_texts:
+            break
+        text = sample_text(rng)
+        put_text(int(rng.integers(1, size - 30)),
+                 int(rng.integers(1, size - 20)), text,
+                 int(rng.integers(10, 26)))
+
+    for _ in range(int(rng.integers(max_icons // 2, max_icons + 1))):
+        if len(icon_boxes) >= max_icons:
+            break
+        s = int(rng.integers(14, 56))
+        put_icon(int(rng.integers(1, max(size - s - 1, 2))),
+                 int(rng.integers(1, max(size - s - 1, 2))), s)
+
+    out = _postprocess(np.asarray(canvas, np.float32), rng)
     if return_kinds:
         return out, icon_boxes, text_boxes, texts, kinds
     return out, icon_boxes, text_boxes, texts

