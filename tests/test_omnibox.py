@@ -220,3 +220,64 @@ def test_compose_structure():
     for target in ("/oem", "/data"):
         src = os.path.join(_OMNIBOX, mounts[target].lstrip("./"))
         assert os.path.isdir(src), src
+
+
+def test_answer_xml_structure():
+    """Pin the unattended-install answer file (VERDICT r3 #7): same
+    capability surface as the reference's win11x64-enterprise-eval.xml —
+    hardware-check bypass, GPT partition plan, hidden OOBE, auto-logon
+    admin, RDP, and the C:\\OEM\\install.bat first-logon hook."""
+    import xml.etree.ElementTree as ET
+
+    path = os.path.join(_OMNIBOX, "vm", "win11def",
+                        "win11x64-enterprise-eval.xml")
+    text = open(path).read()
+    root = ET.parse(path).getroot()
+    passes = {e.get("pass") for e in root}
+    assert {"windowsPE", "specialize", "oobeSystem"} <= passes
+    for needle in (
+        "BypassTPMCheck", "BypassSecureBootCheck",          # QEMU has no TPM
+        "<WillWipeDisk>true</WillWipeDisk>",
+        "<Type>EFI</Type>", "<Type>MSR</Type>",             # GPT layout
+        "<AcceptEula>true</AcceptEula>",
+        "<HideOnlineAccountScreens>true</HideOnlineAccountScreens>",
+        "<SkipMachineOOBE>true</SkipMachineOOBE>",
+        "<AutoLogon>",                                       # agent needs a session
+        "<fDenyTSConnections>false</fDenyTSConnections>",    # RDP on
+        "AllowInsecureGuestAuth",                            # \\host.lan\data
+        'if exist "C:\\OEM\\install.bat"',                   # guest bundle hook
+    ):
+        assert needle in text, needle
+
+
+def test_boot_chain_structure():
+    """Pin the first-party boot-chain scripts: entry.sh sources the full
+    stage chain (reference entry.sh:12-23), define.sh resolves the win11e
+    alias to an answer file, install.sh injects autounattend + OEM, and
+    the Dockerfile ships them into /run."""
+    bc = os.path.join(_OMNIBOX, "vm", "buildcontainer")
+    entry = open(os.path.join(bc, "entry.sh")).read()
+    for stage in ("reset.sh", "define.sh", "install.sh", "disk.sh",
+                  "display.sh", "network.sh", "samba.sh", "boot.sh",
+                  "proc.sh", "power.sh", "config.sh"):
+        assert f". {stage}" in entry, stage
+    assert "qemu-system-x86_64" in entry
+
+    define = open(os.path.join(bc, "define.sh")).read()
+    assert "win11x64-enterprise-eval" in define
+    assert "XML_FILE" in define
+
+    install = open(os.path.join(bc, "install.sh")).read()
+    assert "autounattend.xml" in install
+    assert "$OEM$" in install          # sources/$OEM$/$1/OEM -> C:\OEM
+    assert "genisoimage" in install    # UEFI-bootable remaster
+
+    samba = open(os.path.join(bc, "samba.sh")).read()
+    assert "[data]" in samba and "guest ok = yes" in samba
+
+    power = open(os.path.join(bc, "power.sh")).read()
+    assert "system_powerdown" in power
+
+    docker = open(os.path.join(_OMNIBOX, "Dockerfile")).read()
+    assert "COPY vm/buildcontainer/ /run/" in docker
+    assert "COPY vm/win11def/" in docker
