@@ -11,10 +11,11 @@ per-class NMS around it.
 This module provides both halves, TPU-native:
 
   * a from-scratch Flax GELAN (the YOLOv9 deploy-form backbone family:
-    RepNCSPELAN4 / ADown / SPPELAN; the reversible PGI auxiliary branch
-    exists only at training time and is absent from deployed graphs), in
-    NHWC / bf16-compute like models/yolov8.py, reusing its DFL detect
-    head; and
+    RepNCSPELAN4 / ADown / SPPELAN, plus CBLinear/CBFuse for the dual
+    'e' form — the actual icon_detect_v3 topology; the reversible PGI
+    auxiliary branch exists only at training time and is absent from
+    deployed graphs), in NHWC / bf16-compute like models/yolov8.py,
+    reusing its DFL detect head; and
   * `YOLOv9Detector` — the same jitted fixed-shape detect protocol as
     `yolov8.Detector` (slots into SOMPipeline / compat unchanged), plus
     `predict()` matching the reference wrapper's exact semantics
@@ -46,11 +47,14 @@ STRIDES = (8, 16, 32)  # reference util/yolov9.py:30
 
 # GELAN stage specs: per backbone stage (out, elan_mid, rep_mid), the
 # SPPELAN (out, mid), per neck block (out, elan_mid, rep_mid), and ELAN
-# depth.  'c' follows the published gelan-c layout; 'e' is the widened/
-# deepened scaling of the same deploy form (the icon_detect_v3 graph
-# itself is opaque TorchScript upstream too — see module docstring).
+# depth.  'c' follows the published gelan-c layout.  'e' (the real
+# icon_detect_v3 architecture) is the DUAL-branch deploy form: a first
+# backbone feeds multi-scale CBLinear taps that CBFuse sums into a second
+# backbone (the published gelan-e layout: dual stem/downsample stacks,
+# RepNCSPELAN4 depth 2, last neck block widened to mid 1024).
 VARIANTS = {
     "c": dict(
+        form="single",
         stages=((256, 128, 64), (512, 256, 128), (512, 512, 256), (512, 512, 256)),
         sppelan=(512, 256),
         neck=((512, 512, 256), (256, 256, 128), (512, 512, 256), (512, 512, 256)),
@@ -58,14 +62,24 @@ VARIANTS = {
         stem=(64, 128),
     ),
     "e": dict(
+        form="dual",
         stages=((256, 128, 64), (512, 256, 128), (1024, 512, 256), (1024, 512, 256)),
         sppelan=(512, 256),
-        neck=((512, 512, 256), (256, 256, 128), (512, 512, 256), (512, 512, 256)),
+        neck=((512, 512, 256), (256, 256, 128), (512, 512, 256), (512, 1024, 512)),
         depth=2,
         stem=(64, 128),
     ),
-    # tiny dims for tests (fast compile, same graph structure)
+    # tiny dims for tests (fast compile, same graph structures)
     "test": dict(
+        form="single",
+        stages=((16, 8, 4), (32, 16, 8), (32, 32, 16), (32, 32, 16)),
+        sppelan=(32, 16),
+        neck=((32, 32, 16), (16, 16, 8), (32, 32, 16), (32, 32, 16)),
+        depth=1,
+        stem=(8, 16),
+    ),
+    "dualtest": dict(
+        form="dual",
         stages=((16, 8, 4), (32, 16, 8), (32, 32, 16), (32, 32, 16)),
         sppelan=(32, 16),
         neck=((32, 32, 16), (16, 16, 8), (32, 32, 16), (32, 32, 16)),
@@ -175,8 +189,40 @@ class SPPELAN(nn.Module):
         )
 
 
+class CBLinear(nn.Module):
+    """YOLOv9 CBLinear: a bias-only 1x1 conv (no BN, no activation) whose
+    output splits into per-scale chunks consumed by CBFuse sites in the
+    second backbone branch (the gelan-e dual deploy form)."""
+
+    out_channels: Sequence[int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(int(sum(self.out_channels)), (1, 1), use_bias=True,
+                    dtype=self.dtype, name="conv")(x)
+        splits = list(np.cumsum(self.out_channels)[:-1])
+        return jnp.split(y, splits, axis=-1) if splits else [y]
+
+
+def cb_fuse(chunks, target):
+    """YOLOv9 CBFuse: nearest-upsample every CBLinear chunk to the target
+    feature's spatial size and sum them all with the target (parameterless)."""
+    b, h, w, _ = target.shape
+    out = target
+    for c in chunks:
+        out = out + jax.image.resize(
+            c, (b, h, w, c.shape[-1]), method="nearest"
+        ).astype(target.dtype)
+    return out
+
+
 class GELAN(nn.Module):
-    """Backbone + PAN neck + DFL detect head.  Input [B, H, W, 3] in [0,1]."""
+    """Backbone + PAN neck + DFL detect head.  Input [B, H, W, 3] in [0,1].
+
+    form='single' (gelan-c): one backbone chain.  form='dual' (gelan-e,
+    the real icon_detect_v3 deploy graph): backbone A feeds five CBLinear
+    taps whose chunks CBFuse-sum into backbone B at each scale."""
 
     variant: str = "e"
     num_classes: int = 1
@@ -189,18 +235,49 @@ class GELAN(nn.Module):
         n = spec["depth"]
         dt = self.dtype
         x = x.astype(dt)
-
         c1, c2 = spec["stem"]
-        x = ConvBNAct(c1, 3, 2, dt, name="stem")(x, train)          # P1
-        x = ConvBNAct(c2, 3, 2, dt, name="down2")(x, train)         # P2
-        x = RepNCSPELAN4(*s3, n, dt, name="elan2")(x, train)
-        x = ADown(s3[0], dt, name="adown3")(x, train)               # P3
-        p3 = RepNCSPELAN4(*s4, n, dt, name="elan3")(x, train)
-        x = ADown(s4[0], dt, name="adown4")(p3, train)              # P4
-        p4 = RepNCSPELAN4(*s5, n, dt, name="elan4")(x, train)
-        x = ADown(s5[0], dt, name="adown5")(p4, train)              # P5
-        x = RepNCSPELAN4(*s5b, n, dt, name="elan5")(x, train)
-        p5 = SPPELAN(spp, spp_mid, dt, name="sppelan")(x, train)
+
+        if spec["form"] == "dual":
+            targets = (c1, c2, s3[0], s4[0], s5[0])
+            a1 = ConvBNAct(c1, 3, 2, dt, name="stemA")(x, train)     # P1
+            a2 = ConvBNAct(c2, 3, 2, dt, name="downA2")(a1, train)   # P2
+            a3 = RepNCSPELAN4(*s3, n, dt, name="elanA2")(a2, train)
+            a4 = ADown(s3[0], dt, name="adownA3")(a3, train)         # P3
+            a5 = RepNCSPELAN4(*s4, n, dt, name="elanA3")(a4, train)
+            a6 = ADown(s4[0], dt, name="adownA4")(a5, train)         # P4
+            a7 = RepNCSPELAN4(*s5, n, dt, name="elanA4")(a6, train)
+            a8 = ADown(s5[0], dt, name="adownA5")(a7, train)         # P5
+            a9 = RepNCSPELAN4(*s5b, n, dt, name="elanA5")(a8, train)
+            taps = (a1, a3, a5, a7, a9)
+            cbs = [CBLinear(targets[: i + 1], dt, name=f"cb{i + 1}")(taps[i])
+                   for i in range(5)]
+
+            b_ = ConvBNAct(c1, 3, 2, dt, name="stemB")(x, train)     # P1
+            b_ = cb_fuse([cbs[j][0] for j in range(5)], b_)
+            b_ = ConvBNAct(c2, 3, 2, dt, name="downB2")(b_, train)   # P2
+            b_ = cb_fuse([cbs[j][1] for j in range(1, 5)], b_)
+            b_ = RepNCSPELAN4(*s3, n, dt, name="elanB2")(b_, train)
+            b_ = ADown(s3[0], dt, name="adownB3")(b_, train)         # P3
+            b_ = cb_fuse([cbs[j][2] for j in range(2, 5)], b_)
+            p3 = RepNCSPELAN4(*s4, n, dt, name="elanB3")(b_, train)
+            b_ = ADown(s4[0], dt, name="adownB4")(p3, train)         # P4
+            b_ = cb_fuse([cbs[j][3] for j in range(3, 5)], b_)
+            p4 = RepNCSPELAN4(*s5, n, dt, name="elanB4")(b_, train)
+            b_ = ADown(s5[0], dt, name="adownB5")(p4, train)         # P5
+            b_ = cb_fuse([cbs[4][4]], b_)
+            b_ = RepNCSPELAN4(*s5b, n, dt, name="elanB5")(b_, train)
+            p5 = SPPELAN(spp, spp_mid, dt, name="sppelan")(b_, train)
+        else:
+            x = ConvBNAct(c1, 3, 2, dt, name="stem")(x, train)          # P1
+            x = ConvBNAct(c2, 3, 2, dt, name="down2")(x, train)         # P2
+            x = RepNCSPELAN4(*s3, n, dt, name="elan2")(x, train)
+            x = ADown(s3[0], dt, name="adown3")(x, train)               # P3
+            p3 = RepNCSPELAN4(*s4, n, dt, name="elan3")(x, train)
+            x = ADown(s4[0], dt, name="adown4")(p3, train)              # P4
+            p4 = RepNCSPELAN4(*s5, n, dt, name="elan4")(x, train)
+            x = ADown(s5[0], dt, name="adown5")(p4, train)              # P5
+            x = RepNCSPELAN4(*s5b, n, dt, name="elan5")(x, train)
+            p5 = SPPELAN(spp, spp_mid, dt, name="sppelan")(x, train)
 
         def up2(t):
             b, h, w, c = t.shape

@@ -30,10 +30,20 @@ from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
-# our module order == the deploy graph's parametric-layer order
+# our module order == the deploy graph's parametric-layer order.
+# Single form (gelan-c): 17 parametric layers.  Dual form (gelan-e /
+# icon_detect_v3): 31 — backbone A, five CBLinear taps, backbone B with
+# CBFuse sites (parameterless, not listed), shared neck/head names.
 _MODULE_ORDER = (
     "stem", "down2", "elan2", "adown3", "elan3", "adown4", "elan4",
     "adown5", "elan5", "sppelan", "neck_p4", "neck_p3", "neck_down3",
+    "neck_p4b", "neck_down4", "neck_p5", "head",
+)
+_MODULE_ORDER_DUAL = (
+    "stemA", "downA2", "elanA2", "adownA3", "elanA3", "adownA4", "elanA4",
+    "adownA5", "elanA5", "cb1", "cb2", "cb3", "cb4", "cb5",
+    "stemB", "downB2", "elanB2", "adownB3", "elanB3", "adownB4", "elanB4",
+    "adownB5", "elanB5", "sppelan", "neck_p4", "neck_p3", "neck_down3",
     "neck_p4b", "neck_down4", "neck_p5", "head",
 )
 
@@ -97,17 +107,31 @@ def convert_yolov9_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             unmatched.append(k)
             continue
         layers.setdefault(int(m.group(1)), {})[m.group(2)] = np.asarray(v)
-    if len(layers) != len(_MODULE_ORDER):
+    if len(layers) == len(_MODULE_ORDER):
+        order = _MODULE_ORDER
+    elif len(layers) == len(_MODULE_ORDER_DUAL):
+        order = _MODULE_ORDER_DUAL
+    else:
         raise ValueError(
-            f"parametric layer count {len(layers)} != expected "
-            f"{len(_MODULE_ORDER)} ({sorted(layers)} vs {_MODULE_ORDER}) — "
-            "not a GELAN deploy graph this converter understands"
+            f"parametric layer count {len(layers)} matches neither the "
+            f"single ({len(_MODULE_ORDER)}) nor dual "
+            f"({len(_MODULE_ORDER_DUAL)}) GELAN deploy form "
+            f"({sorted(layers)})"
         )
 
     # collect fused RepConvN convs (weight+bias, no bn alongside) so the
     # bias can ride an identity BatchNorm
-    for idx, dst in zip(sorted(layers), _MODULE_ORDER):
+    for idx, dst in zip(sorted(layers), order):
         sub = layers[idx]
+        if dst.startswith("cb"):
+            # CBLinear: a plain biased 1x1 conv — the weight+bias-no-bn
+            # signature must NOT trigger the fused-RepConvN identity-bn
+            # path; _route_leaf routes conv.bias directly
+            for key, v in sub.items():
+                _route_leaf([dst], key.split("."), v, params, stats,
+                            fused=False, unmatched=unmatched,
+                            orig=f"model.{idx}.{key}", linear_conv=True)
+            continue
         fused_prefixes = {
             k[: -len(".conv.weight")]
             for k in sub
@@ -159,13 +183,16 @@ def convert_yolov9_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 def _route_leaf(our: List[str], leaf: List[str], v: np.ndarray,
                 params: Dict, stats: Dict, fused: bool,
-                unmatched: List[str], orig: str) -> None:
+                unmatched: List[str], orig: str,
+                linear_conv: bool = False) -> None:
     leaf_key = ".".join(leaf)
     if leaf_key == "conv.weight":
         if v.ndim == 4:
             _set(params, our + ["conv", "kernel"], _kernel(v))
         else:
             unmatched.append(orig)
+    elif leaf_key == "conv.bias" and linear_conv:
+        _set(params, our + ["conv", "bias"], v)  # CBLinear biased conv
     elif leaf_key == "conv.bias" and fused:
         _set(params, our + ["bn", "bias"], v)  # identity-bn carries the bias
     elif leaf_key == "bn.weight":

@@ -220,7 +220,8 @@ def _emit(sd, prefix, pnode, snode, fuse_rep, in_rep=False):
 def _synth_sd(tree, fuse_rep=False):
     sd = {}
     params, stats = tree["params"], tree["batch_stats"]
-    for i, mod in enumerate(cvt._MODULE_ORDER):
+    order = cvt._MODULE_ORDER_DUAL if "stemA" in params else cvt._MODULE_ORDER
+    for i, mod in enumerate(order):
         _emit(sd, f"model.{i}", params[mod], stats.get(mod, {}), fuse_rep)
     return sd
 
@@ -334,3 +335,45 @@ def test_pipeline_routes_v9_pt_weights(tiny_det, tmp_path):
     p = SOMPipeline(cfg)
     got = jax.tree.map(np.asarray, p.detector_params)
     _assert_trees_equal(host["params"], got["params"])
+
+
+# --------------------------------------------------------------------- #
+# dual (gelan-e / icon_detect_v3) deploy form                            #
+# --------------------------------------------------------------------- #
+
+
+def test_dual_form_forward_and_converter_roundtrip():
+    """The 'e' family is the DUAL deploy form (CBLinear taps + CBFuse
+    sites + second backbone, ADVICE r3: the single-chain 'e' could never
+    load a genuine icon_detect_v3 checkpoint).  Tiny dual variant:
+    forward produces 3-level outputs and the converter round-trips a
+    source-spelling state dict (31 parametric layers) exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    det = y9.YOLOv9Detector(variant="dualtest", num_classes=2, imgsz=64,
+                            max_det=8, prefilter=64)
+    params = det.init_params(jax.random.PRNGKey(1))
+    outs = det.module.apply(
+        params, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    assert len(outs) == 3  # P3/P4/P5 DFL head levels
+    host = jax.tree.map(np.asarray, params)
+    assert "stemA" in host["params"] and "cb5" in host["params"]
+    sd = _synth_sd(host)
+    assert len({k.split(".")[1] for k in sd}) == len(cvt._MODULE_ORDER_DUAL)
+    got = cvt.convert_yolov9_state_dict(sd)
+    _assert_trees_equal(host["params"], got["params"])
+    _assert_trees_equal(host["batch_stats"], got["batch_stats"])
+
+
+def test_dual_form_converter_rejects_partial():
+    import jax
+
+    det = y9.YOLOv9Detector(variant="dualtest", num_classes=1, imgsz=64,
+                            max_det=8, prefilter=64)
+    host = jax.tree.map(np.asarray,
+                        det.init_params(jax.random.PRNGKey(0)))
+    sd = _synth_sd(host)
+    sd["model.10.bogus.weight"] = np.zeros((4, 4, 1, 1), np.float32)
+    with pytest.raises(ValueError, match="unmatched"):
+        cvt.convert_yolov9_state_dict(sd)
