@@ -56,6 +56,7 @@ def load_dataset(gt_path: str = _GT, imgs_dir: str = _IMGS) -> List[Dict]:
                 "gt_bbox": [x1 / w, y1 / h, x2 / w, y2 / h],
                 "group": t["group"],
                 "image_name": image_name,
+                "size_px": float(min(x2 - x1, y2 - y1)),
             })
     return rows
 

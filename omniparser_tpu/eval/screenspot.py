@@ -102,18 +102,61 @@ def _point_in_box(pred, gt_bbox) -> bool:
     return x1 <= x <= x2 and y1 <= y <= y2
 
 
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for a binomial proportion — small-n
+    honest bounds (VERDICT r3 #6: no more single-digit-n point claims)."""
+    if n == 0:
+        return [0.0, 1.0]
+    p = k / n
+    d = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / d
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / d
+    return [float(max(center - half, 0.0)), float(min(center + half, 1.0))]
+
+
+def _size_bucket(px: float) -> str:
+    """Target side length -> bucket (thresholds roughly matching small UI
+    chrome / normal controls / large widgets)."""
+    if px < 24:
+        return "small"
+    if px < 64:
+        return "medium"
+    return "large"
+
+
 def score_records(records: List[Dict]) -> Dict:
     """Accuracy by group (the reference log's schema: pred point in gt
     bbox => correct).  Record: {'pred': [x,y] ratio or px, 'gt_bbox':
-    [x1,y1,x2,y2], 'group': str}."""
+    [x1,y1,x2,y2], 'group': str, optional 'size_px': float}.
+
+    Returns flat per-group accuracies (back-compat) plus 'groups' rows
+    with n + 95% Wilson CIs, and 'by_size' rows (group x size bucket)
+    when records carry size_px."""
     by_group: Dict[str, List[bool]] = {}
+    by_size: Dict[str, List[bool]] = {}
     for r in records:
         ok = _point_in_box(r.get("pred"), r["gt_bbox"])
-        by_group.setdefault(r.get("group", "all"), []).append(ok)
+        g = r.get("group", "all")
+        by_group.setdefault(g, []).append(ok)
+        if r.get("size_px") is not None:
+            by_size.setdefault(f"{g}/{_size_bucket(r['size_px'])}",
+                               []).append(ok)
     out = {g: float(np.mean(v)) for g, v in by_group.items()}
     total = [ok for v in by_group.values() for ok in v]
     out["overall"] = float(np.mean(total)) if total else 0.0
     out["n"] = len(total)
+    out["overall_ci95"] = wilson_ci(int(np.sum(total)), len(total))
+    out["groups"] = {
+        g: {"acc": float(np.mean(v)), "n": len(v),
+            "ci95": wilson_ci(int(np.sum(v)), len(v))}
+        for g, v in by_group.items()
+    }
+    if by_size:
+        out["by_size"] = {
+            g: {"acc": float(np.mean(v)), "n": len(v),
+                "ci95": wilson_ci(int(np.sum(v)), len(v))}
+            for g, v in sorted(by_size.items())
+        }
     return out
 
 
@@ -132,6 +175,7 @@ def run_eval(model: ScreenSpotModel, dataset: List[Dict], log_path: Optional[str
             "instruction": row["instruction"],
             "pred": res["point"],
             "gt_bbox": row["gt_bbox"],
+            "size_px": row.get("size_px"),
         }
         rec["correctness"] = (
             "correct" if _point_in_box(res["point"], row["gt_bbox"]) else "wrong"

@@ -91,6 +91,7 @@ def make_dataset(n_scenes: int, seed: int = 777100,
                 "instruction": f"click the text '{text.strip()}'",
                 "gt_bbox": [c / size for c in box],
                 "group": "text",
+                "size_px": float(min(box[2] - box[0], box[3] - box[1])),
             })
         once = {k for k in set(kinds) if kinds.count(k) == 1}
         for box, kind in zip(icons, kinds):
@@ -101,6 +102,7 @@ def make_dataset(n_scenes: int, seed: int = 777100,
                 "instruction": f"click the {CAPTIONS[kind]}",
                 "gt_bbox": [c / size for c in box],
                 "group": "icon",
+                "size_px": float(min(box[2] - box[0], box[3] - box[1])),
             })
     return rows
 
