@@ -54,7 +54,12 @@ def test_golden_detection(pipeline, image_name):
     if not os.path.exists(path):
         pytest.skip("reference image unavailable")
     golden = json.load(open(os.path.join(GOLDEN_DIR, IMAGES[image_name])))
-    _, _, elements = pipeline.parse_image(load_image_rgb(path))
+    # random-init at conf 0.05 scores ~every anchor ~0.5: the prefilter
+    # overflow warning is EXPECTED here (meaningless model, not a silent
+    # cap — the trained checkpoint runs warning-free, see BENCH logs);
+    # assert it fires so the no-silent-caps contract stays pinned
+    with pytest.warns(RuntimeWarning, match="prefilter overflow"):
+        _, _, elements = pipeline.parse_image(load_image_rgb(path))
     assert len(elements) == len(golden), (
         f"element count changed: {len(elements)} vs golden {len(golden)}"
     )
