@@ -35,10 +35,11 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from omniparser_tpu.train.synth_text import _FONT_FILES, _font, sample_text
+from omniparser_tpu.train.synth_text import (_FONT_FILES, _font, pick_font,
+                                             sample_text)
 
 # bump to invalidate /tmp training-data caches when generators change
-DATA_VERSION = 4
+DATA_VERSION = 5
 
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",
@@ -402,8 +403,7 @@ def render_icon_tile(
     kind = _paste_icon(img, rng, x, y, s, fg, local, kind=kind)
     if rng.random() < 0.25:  # neighboring label text in the tile
         label = sample_text(rng, max_chars=10)
-        f = _font(_FONT_FILES[int(rng.integers(0, len(_FONT_FILES)))],
-                  int(rng.integers(9, 14)))
+        f = pick_font(rng, label, int(rng.integers(9, 14)))
         tc = theme.text if theme else _rand_color(rng, base)
         ly = y + s + 2 if y + s + 14 < tile else max(y - 14, 0)
         draw.text((max(x - 4, 0), ly), label, fill=tc, font=f)
@@ -465,8 +465,7 @@ def render_gui_scene(
             if rng.random() < 0.7 else _rand_color(rng, base)
 
     def put_text(x, y, text, sizept) -> bool:
-        font = _font(_FONT_FILES[int(rng.integers(0, len(_FONT_FILES)))],
-                     sizept)
+        font = pick_font(rng, text, sizept)
         probe = ImageDraw.Draw(Image.new("L", (8, 8)))
         bx0, by0, bx1, by1 = probe.textbbox((0, 0), text, font=font)
         tw, th = bx1 - bx0, by1 - by0
@@ -544,7 +543,7 @@ def render_gui_scene(
         pt = int(rng.integers(10, 16))
         for _ in range(int(rng.integers(4, 9))):
             word = sample_text(rng, max_chars=9).split(" ")[0] or "File"
-            font = _font(_FONT_FILES[0], pt)
+            font = pick_font(rng, word, pt)
             probe = ImageDraw.Draw(Image.new("L", (8, 8)))
             b = probe.textbbox((0, 0), word, font=font)
             if not put_text(x, y, word, pt):

@@ -120,7 +120,45 @@ def encode_text(text: str, max_len: int) -> np.ndarray:
 
 # ----------------------------- line rendering ---------------------------- #
 
-_FONT_FILES = sorted(glob.glob("/usr/share/fonts/**/*.ttf", recursive=True))
+# chars a font's TTF cmap maps to TeX glyphs instead of ASCII (verified
+# by rendering: cmss10/cmr10 draw <>|\{} as upside-down-!/dashes/quotes);
+# render_line re-picks a DejaVu face when the text needs a banned char
+_FONT_BAN = {}
+
+
+def _collect_fonts():
+    files = sorted(glob.glob("/usr/share/fonts/**/*.ttf", recursive=True))
+    # matplotlib bundles STIX (full-Unicode serif), DejaVu oblique faces,
+    # and the Computer Modern TTFs.  cmss10 matters most: its lowercase
+    # 'g' is SINGLE-STORY like Segoe UI / SF — the round-4 real-pixels
+    # failure analysis showed DejaVu/STIX-trained recognizers read real
+    # GUI 'g' as 'q' (Design->Desiqn) because they only ever saw the
+    # double-story form.  cmss10 is weighted 4x for that reason.
+    try:
+        import matplotlib
+
+        mpl = matplotlib.get_data_path() + "/fonts/ttf"
+        for f in sorted(glob.glob(mpl + "/*.ttf")):
+            name = f.rsplit("/", 1)[-1]
+            if "Sym" in name or "NonUni" in name:
+                continue
+            if name.startswith(("STIXGeneral", "DejaVu")):
+                files.append(f)
+        tex_ban = frozenset("<>|\\{}")
+        for name, ban, weight in (("cmss10.ttf", tex_ban, 4),
+                                  ("cmtt10.ttf", frozenset(), 1),
+                                  ("cmr10.ttf", tex_ban, 1)):
+            path = f"{mpl}/{name}"
+            if glob.os.path.exists(path):
+                if ban:
+                    _FONT_BAN[path] = ban
+                files.extend([path] * weight)
+    except Exception:
+        pass
+    return files
+
+
+_FONT_FILES = _collect_fonts()
 
 
 @lru_cache(maxsize=256)
@@ -128,6 +166,16 @@ def _font(path: str, size: int):
     from PIL import ImageFont
 
     return ImageFont.truetype(path, size)
+
+
+def pick_font(rng: np.random.Generator, text: str, size: int):
+    """Random face honoring per-font banned chars (_FONT_BAN): TeX-cmap
+    faces fall back to a DejaVu face when the text needs <>|\\{}."""
+    path = _FONT_FILES[int(rng.integers(0, len(_FONT_FILES)))]
+    ban = _FONT_BAN.get(path)
+    if ban and (set(text) & ban):
+        path = _FONT_FILES[int(rng.integers(0, 6))]  # system DejaVu faces
+    return _font(path, size)
 
 
 def _pick_colors(rng: np.random.Generator) -> Tuple[int, int]:
@@ -180,7 +228,7 @@ def render_line(
     if text is None:
         text = sample_text(rng)
     size = int(rng.integers(min_size, max_size + 1))
-    font = _font(_FONT_FILES[rng.integers(0, len(_FONT_FILES))], size)
+    font = pick_font(rng, text, size)
     colored = rng.random() < 0.5
     if colored:
         bg, fg = _pick_colors_rgb(rng)
@@ -237,6 +285,14 @@ def render_line(
     arr = np.clip(arr, 0, 255).astype(np.uint8)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
+    # horizontal condensation: UI fonts (Segoe/SF) run ~10-25% narrower
+    # than DejaVu; squeeze teaches the recognizer those letterforms
+    if rng.random() < 0.45 and arr.shape[1] > 8:
+        import cv2
+
+        sx = rng.uniform(0.72, 0.98)
+        arr = cv2.resize(arr, (max(int(arr.shape[1] * sx), 4), arr.shape[0]),
+                         interpolation=cv2.INTER_AREA)
     # screenshot-domain artifacts (round-4 real-pixels gap): ClearType-ish
     # subpixel fringing and JPEG blocking — real Windows/mac text is not
     # the clean grayscale PIL emits
@@ -356,7 +412,7 @@ def render_screenshot(
     for _ in range(int(rng.integers(max_lines // 2, max_lines + 1))):
         text = sample_text(rng)
         sizept = int(rng.integers(10, 30))
-        font = _font(_FONT_FILES[rng.integers(0, len(_FONT_FILES))], sizept)
+        font = pick_font(rng, text, sizept)
         probe = ImageDraw.Draw(Image.new("L", (8, 8)))
         bx0, by0, bx1, by1 = probe.textbbox((0, 0), text, font=font)
         tw, th = bx1 - bx0, by1 - by0
