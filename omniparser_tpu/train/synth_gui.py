@@ -39,7 +39,7 @@ from omniparser_tpu.train.synth_text import (_FONT_FILES, _font, pick_font,
                                              sample_text)
 
 # bump to invalidate /tmp training-data caches when generators change
-DATA_VERSION = 5
+DATA_VERSION = 6
 
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",
@@ -110,8 +110,11 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
         kind = ICON_KINDS[int(rng.integers(0, len(ICON_KINDS)))]
     x2, y2 = x + s, y + s
     m = max(s // 6, 1)  # inner margin
-    w = max(s // 10, 1)  # stroke width
+    # real GUI chrome favors thin strokes (Fluent/SF outline style):
+    # sample thin ~40% of the time
+    w = max(s // 14, 1) if rng.random() < 0.4 else max(s // 10, 1)
     cx, cy = x + s / 2, y + s / 2
+    outline_style = rng.random() < 0.5  # outline vs filled glyph bodies
     if kind == "button":
         r = max(s // 5, 2)
         draw.rounded_rectangle([x, y, x2, y2], radius=r,
@@ -139,10 +142,22 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
         draw.line([x + m + d, y + m + d, x2 - 1, y2 - 1], fill=fg, width=w)
     elif kind == "arrow":
         if rng.random() < 0.5:
+            # browser-style back/forward arrow: shaft + thin chevron head
+            left = rng.random() < 0.5
+            hx = x + m if left else x2 - m
+            tx = x2 - m if left else x + m
+            draw.line([hx, cy, tx, cy], fill=fg, width=w)
+            q = s / 2 - m
+            draw.line([hx, cy, hx + (q if left else -q), cy - q],
+                      fill=fg, width=w)
+            draw.line([hx, cy, hx + (q if left else -q), cy + q],
+                      fill=fg, width=w)
+        elif rng.random() < 0.5:
             pts = [(x + m, y + s / 2), (x2 - m, y + m), (x2 - m, y2 - m)]
+            draw.polygon(pts, fill=fg)
         else:
             pts = [(x2 - m, y + s / 2), (x + m, y + m), (x + m, y2 - m)]
-        draw.polygon(pts, fill=fg)
+            draw.polygon(pts, fill=fg)
     elif kind == "star":
         pts = []
         for i in range(10):
@@ -183,11 +198,21 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
         draw.line([cx, y + m, x2 - m, y + s / 2], fill=fg, width=w)
         draw.line([x2 - m, y + s / 2, cx, y2 - m], fill=fg, width=w)
     elif kind == "bell":
-        # dome + flared skirt + clapper (classic notification bell)
-        draw.pieslice([x + m, y + m // 2, x2 - m, y2 - m], 180, 360, fill=fg)
-        draw.polygon([(x + m, cy), (x2 - m, cy),
-                      (x2 - m // 2, y2 - m - s // 8),
-                      (x + m // 2, y2 - m - s // 8)], fill=fg)
+        # dome + flared skirt + clapper; outline style ~half the time
+        # (Teams/OneNote bells are thin-stroke outlines)
+        if outline_style:
+            draw.arc([x + m, y + m // 2, x2 - m, y2 - m + s // 3],
+                     180, 360, fill=fg, width=w)
+            draw.line([x + m // 2, y2 - m - s // 8,
+                       x2 - m // 2, y2 - m - s // 8], fill=fg, width=w)
+            draw.line([x + m, y2 - m - s // 8, x + m, cy], fill=fg, width=w)
+            draw.line([x2 - m, y2 - m - s // 8, x2 - m, cy], fill=fg, width=w)
+        else:
+            draw.pieslice([x + m, y + m // 2, x2 - m, y2 - m], 180, 360,
+                          fill=fg)
+            draw.polygon([(x + m, cy), (x2 - m, cy),
+                          (x2 - m // 2, y2 - m - s // 8),
+                          (x + m // 2, y2 - m - s // 8)], fill=fg)
         q = max(s // 10, 1)
         draw.ellipse([cx - q, y2 - m - q, cx + q, y2 - m + q], fill=fg)
     elif kind == "chat":
@@ -208,18 +233,44 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
                 py = y + m + s // 3 + i * s // 4
                 draw.ellipse([px - q, py - q, px + q, py + q], fill=fg)
     elif kind == "phone":
-        r = max(s // 4, 2)
-        draw.ellipse([x + m, y2 - m - r * 2, x + m + 2 * r, y2 - m], fill=fg)
-        draw.ellipse([x2 - m - 2 * r, y + m, x2 - m, y + m + 2 * r], fill=fg)
-        draw.line([x + m + r, y2 - m - r, x2 - m - r, y + m + r],
-                  fill=fg, width=max(w * 2, 3))
+        if outline_style:
+            # curved-handset outline (Teams/iOS call glyph): thick arc
+            # from lower-left to upper-right with rounded end caps
+            draw.arc([x + m - s // 3, y + m - s // 3, x2 - m + s // 8,
+                      y2 - m + s // 8], 10, 100, fill=fg,
+                     width=max(w * 2, 2))
+            r = max(s // 7, 1)
+            draw.ellipse([x + m - r, y2 - m - 2 * r, x + m + r, y2 - m],
+                         fill=fg)
+            draw.ellipse([x2 - m - 2 * r, y + m - r, x2 - m, y + m + r],
+                         fill=fg)
+        else:
+            r = max(s // 4, 2)
+            draw.ellipse([x + m, y2 - m - r * 2, x + m + 2 * r, y2 - m],
+                         fill=fg)
+            draw.ellipse([x2 - m - 2 * r, y + m, x2 - m, y + m + 2 * r],
+                         fill=fg)
+            draw.line([x + m + r, y2 - m - r, x2 - m - r, y + m + r],
+                      fill=fg, width=max(w * 2, 3))
     elif kind == "cloud":
-        # two bumps over a flat-bottomed base (real cloud glyphs are flat)
+        # two bumps over a flat-bottomed base (real cloud glyphs are flat);
+        # OneDrive-style outline variant
         base_y = y2 - m - max(s // 10, 1)
-        draw.ellipse([x + m, cy - s // 8, cx, base_y], fill=fg)
-        draw.ellipse([cx - s // 4, y + m, x2 - m - s // 12, base_y], fill=fg)
-        draw.rounded_rectangle([x + m, cy + s // 8, x2 - m, base_y],
-                               radius=max(s // 8, 2), fill=fg)
+
+        def _cloud_body(ins, color):
+            if base_y - ins <= cy + s // 8 + ins:  # degenerate at tiny s
+                return
+            draw.ellipse([x + m + ins, cy - s // 8 + ins, cx - ins,
+                          base_y - ins], fill=color)
+            draw.ellipse([cx - s // 4 + ins, y + m + ins,
+                          x2 - m - s // 12 - ins, base_y - ins], fill=color)
+            draw.rounded_rectangle([x + m + ins, cy + s // 8 + ins,
+                                    x2 - m - ins, base_y - ins],
+                                   radius=max(s // 8 - ins, 1), fill=color)
+
+        _cloud_body(0, fg)
+        if outline_style:  # carve the interior -> OneDrive-style outline
+            _cloud_body(max(w, 1), bg)
     elif kind == "smiley":
         draw.ellipse([x + 1, y + 1, x2 - 1, y2 - 1], outline=fg, width=w)
         q = max(s // 10, 1)
