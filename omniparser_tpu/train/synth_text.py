@@ -140,7 +140,12 @@ def _collect_fonts():
         mpl = matplotlib.get_data_path() + "/fonts/ttf"
         for f in sorted(glob.glob(mpl + "/*.ttf")):
             name = f.rsplit("/", 1)[-1]
-            if "Sym" in name or "NonUni" in name:
+            if "Sym" in name or "NonUni" in name or "Display" in name:
+                # the *Display.ttf faces are glyph-less stubs (textbbox
+                # returns zero height; drawing produces NO ink) — they
+                # silently poisoned ~8% of rec training lines with empty
+                # renders until the round-4 gate caught whole-line
+                # collapses on exactly those samples
                 continue
             if name.startswith(("STIXGeneral", "DejaVu")):
                 files.append(f)
@@ -235,10 +240,15 @@ def render_line(
     else:
         bg, fg = _pick_colors(rng)
 
-    # measure
+    # measure; a degenerate bbox (height < 2) means the face has no real
+    # glyphs for this text — fall back to a system DejaVu face rather
+    # than emit a labeled-but-blank render (training-data poison)
     probe = Image.new("L", (8, 8))
     d = ImageDraw.Draw(probe)
     x0, y0, x1, y1 = d.textbbox((0, 0), text, font=font)
+    if y1 - y0 < 2:
+        font = _font(_FONT_FILES[0], size)
+        x0, y0, x1, y1 = d.textbbox((0, 0), text, font=font)
     tw, th = max(x1 - x0, 1), max(y1 - y0, 1)
 
     # detector-box jitter: margins 0..60% of text height per side
