@@ -47,10 +47,12 @@ def test_recognizer_exact_match_gate(ocr):
     close the real-pixels gap (VERDICT r3 #1) — real_bench text went
     35.7% -> 49%+ — and line exact-match plateaued at ~88-89% at this
     model capacity (9k and 14k-step runs within noise of each other).
-    The gate is renormalized to >=0.85 exact with a CER<=0.09 companion:
-    a whole-line metric over 52-char strings punishes single-glyph slips
-    26x harder than CER, and CER is what grounding containment actually
-    depends on."""
+    The plateau turned out to be training-data poison (glyph-less
+    DejaVu*Display faces rendering labeled-but-blank lines); with those
+    excluded the clean-font checkpoint reads 0.93 exact / 0.01 CER on
+    the HARDER distribution, so the original >=0.90 bar is restored and
+    a CER<=0.05 companion added (CER is what grounding containment
+    actually depends on)."""
     from omniparser_tpu.models.ocr import ctc_greedy_decode
     from omniparser_tpu.train.synth_text import crops_from_buffers, render_line_buffers
 
@@ -78,8 +80,8 @@ def test_recognizer_exact_match_gate(ocr):
         confs += conf
         errs += _edit(pred, gt)
         chars += max(len(gt), 1)
-    assert hits / n >= 0.85, f"exact match {hits}/{n}"
-    assert errs / chars <= 0.09, f"CER {errs}/{chars} = {errs / chars:.3f}"
+    assert hits / n >= 0.90, f"exact match {hits}/{n}"
+    assert errs / chars <= 0.05, f"CER {errs}/{chars} = {errs / chars:.3f}"
     # the text_threshold=0.8 serving gate must pass well-recognized text
     assert confs / n > 0.9
 
