@@ -105,7 +105,11 @@ class OcrConfig:
     easyocr_rec_pth: Optional[str] = None
     text_threshold: float = 0.8  # server default (util/omniparser.py:29)
     max_text_boxes: int = 256
-    det_imgsz: int = 960
+    # round-4: 960 -> 1280.  Small-text detection dominates real-pixel
+    # grounding (real_bench text 48.3% -> 58.2% at 1280) and the extra
+    # resolution costs only ~8 ms device compute (PERF.md round-4
+    # decomposition) hidden under the pipelined uploads.
+    det_imgsz: int = 1280
     rec_height: int = 32
     # 480 px = 15:1 aspect at height 32: full-sentence GUI lines keep ~8 px
     # per char instead of compressing to mush at 320 (crop_lines_batch

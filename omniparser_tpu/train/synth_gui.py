@@ -39,7 +39,7 @@ from omniparser_tpu.train.synth_text import (_FONT_FILES, _font, pick_font,
                                              sample_text)
 
 # bump to invalidate /tmp training-data caches when generators change
-DATA_VERSION = 7
+DATA_VERSION = 8
 
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",
@@ -451,6 +451,14 @@ def render_icon_tile(
             fg = theme.text
     else:
         fg = _rand_color(rng, local)
+    # LOW-CONTRAST variant (~25%): real rail/toolbar glyphs sit at
+    # contrast ~50-90 against the chrome (Teams dark rail icons are
+    # #8b8b95 on #1f1f23) — the round-4 failure analysis showed the
+    # high-contrast-only captioner reads those as texture ('image icon')
+    if rng.random() < 0.25:
+        lm = np.mean(local)
+        delta = float(rng.integers(45, 90)) * (1 if lm < 128 else -1)
+        fg = tuple(int(np.clip(c + delta, 0, 255)) for c in local)
     kind = _paste_icon(img, rng, x, y, s, fg, local, kind=kind)
     if rng.random() < 0.25:  # neighboring label text in the tile
         label = sample_text(rng, max_chars=10)
@@ -458,7 +466,19 @@ def render_icon_tile(
         tc = theme.text if theme else _rand_color(rng, base)
         ly = y + s + 2 if y + s + 14 < tile else max(y - 14, 0)
         draw.text((max(x - 4, 0), ly), label, fill=tc, font=f)
-    return _postprocess(np.asarray(img, np.float32), rng), kind, \
+    arr = np.asarray(img, np.float32)
+    # scale roundtrip (~30%): real crops come from screenshots that were
+    # downscaled for upload (max_upload_side) and re-enlarged by the
+    # 64px crop-gather — soft, slightly aliased strokes
+    if rng.random() < 0.3:
+        import cv2
+
+        f_ = float(rng.uniform(0.45, 0.8))
+        small = cv2.resize(arr, (max(int(tile * f_), 8),) * 2,
+                           interpolation=cv2.INTER_AREA)
+        arr = cv2.resize(small, (tile, tile),
+                         interpolation=cv2.INTER_LINEAR)
+    return _postprocess(arr, rng), kind, \
         [x, y, x + s, y + s]
 
 
