@@ -39,7 +39,7 @@ from omniparser_tpu.train.synth_text import (_FONT_FILES, _font, pick_font,
                                              sample_text)
 
 # bump to invalidate /tmp training-data caches when generators change
-DATA_VERSION = 8
+DATA_VERSION = 9
 
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",

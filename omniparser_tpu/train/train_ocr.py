@@ -108,11 +108,24 @@ def build_det_dataset(n: int, seed: int, size: int = 640, cache: bool = True):
             img, boxes, _ = render_screenshot(rng, sz)
             return img, boxes
 
-        if rng.random() < 0.3:
+        roll = rng.random()
+        if roll < 0.3:
+            # high-res screenshots shrink through the det letterbox:
+            # render big, downscale (text smaller than native)
             big = int(size * rng.uniform(1.5, 2.0))
             img, boxes = render(big)
             s = size / big
             img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+            boxes = [[int(v * s) for v in b] for b in boxes]
+        elif roll < 0.55:
+            # small screenshots UPSCALE through the det letterbox when
+            # det_imgsz exceeds the frame (round-4: det at 1280 on a
+            # 640px scene doubles every glyph): render small, upscale
+            small = int(size * rng.uniform(0.45, 0.8))
+            img, boxes = render(small)
+            s = size / small
+            img = cv2.resize(img, (size, size),
+                             interpolation=cv2.INTER_LINEAR)
             boxes = [[int(v * s) for v in b] for b in boxes]
         else:
             img, boxes = render(size)
