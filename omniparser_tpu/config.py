@@ -105,11 +105,14 @@ class OcrConfig:
     easyocr_rec_pth: Optional[str] = None
     text_threshold: float = 0.8  # server default (util/omniparser.py:29)
     max_text_boxes: int = 256
-    # round-4: 960 -> 1280.  Small-text detection dominates real-pixel
-    # grounding (real_bench text 48.3% -> 58.2% at 1280) and the extra
-    # resolution costs only ~8 ms device compute (PERF.md round-4
-    # decomposition) hidden under the pipelined uploads.
-    det_imgsz: int = 1280
+    # round-4: 960 -> 1920.  Small-text detection dominates real-pixel
+    # grounding: real_bench text 48.3% (@960) -> 58.2% (@1280) -> 75.6%
+    # (@1920) on the 237-target set; the extra resolution costs ~45 ms
+    # device compute (PERF.md round-4 decomposition scales with pixels)
+    # against a transport-dominated wall.  The scale-robust det training
+    # (upscaled-screen branch) keeps small synthetic frames accurate
+    # through the larger letterbox.
+    det_imgsz: int = 1920
     rec_height: int = 32
     # 480 px = 15:1 aspect at height 32: full-sentence GUI lines keep ~8 px
     # per char instead of compressing to mush at 320 (crop_lines_batch
