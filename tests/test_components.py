@@ -195,7 +195,7 @@ def test_pipeline_fused_candidates_parity():
     base = PipelineConfig(
         detector=DetectorConfig(default_imgsz=640, max_detections=64),
         captioner=CaptionerConfig(backend="null"),
-        ocr=OcrConfig(backend="jax", device_components=True,
+        ocr=OcrConfig(backend="jax", det_imgsz=960, device_components=True,
                       fused_candidates=True),
     )
     cfg_host = dataclasses.replace(
@@ -223,7 +223,7 @@ def test_jax_ocr_device_components_parity():
     from omniparser_tpu.models.ocr import JaxOCR, default_ocr_weights
     from omniparser_tpu.train.synth_gui import render_gui_scene
 
-    cfg_dev = OcrConfig(backend="jax", device_components=True)
+    cfg_dev = OcrConfig(backend="jax", det_imgsz=960, device_components=True)
     weights = default_ocr_weights(cfg_dev)
     cfg_host = dataclasses.replace(cfg_dev, device_components=False)
     ocr_dev = JaxOCR(cfg_dev, weights=weights)
@@ -252,7 +252,7 @@ def test_rec_block_loop_parity():
     base = PipelineConfig(
         detector=DetectorConfig(default_imgsz=640, max_detections=64),
         captioner=CaptionerConfig(backend="null"),
-        ocr=OcrConfig(backend="jax", device_components=True,
+        ocr=OcrConfig(backend="jax", det_imgsz=960, device_components=True,
                       fused_candidates=True, rec_block=32),
     )
     cfg_full = dataclasses.replace(

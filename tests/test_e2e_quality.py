@@ -41,7 +41,8 @@ def test_full_parse_recovers_synthetic_scene():
     # scenes are 640px; run the detector at its native bucket (the demo
     # slider exposes imgsz — gradio_demo.py:68-76 — so this is a user knob)
     cfg = dataclasses.replace(
-        base, detector=dataclasses.replace(base.detector, default_imgsz=640))
+        base, detector=dataclasses.replace(base.detector, default_imgsz=640),
+        ocr=dataclasses.replace(base.ocr, det_imgsz=960))
     p = SOMPipeline(cfg)
 
     rng = np.random.default_rng(777001)

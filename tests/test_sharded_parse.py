@@ -55,7 +55,11 @@ def trained_pipeline():
     cfg = PipelineConfig(
         detector=DetectorConfig(default_imgsz=640),
         captioner=CaptionerConfig(batch_size=16),
-        ocr=OcrConfig(backend="jax"),
+        # det_imgsz pinned below the 1920 production default: the CC
+        # broadcast-compare at a 960x960 det map materializes multi-GB
+        # intermediates on the CPU backend (batch 4 OOM-killed the suite);
+        # resolution is not what this parity test pins
+        ocr=OcrConfig(backend="jax", det_imgsz=960),
     )
     if (default_detector_weights(cfg.detector) is None
             or default_captioner_weights() is None):
