@@ -83,8 +83,14 @@ def make_dataset(n_scenes: int, seed: int = 777100,
     for _ in range(n_scenes):
         img, icons, tboxes, texts, kinds = render_gui_scene(
             rng, size=size, return_kinds=True)
+        # word-level GT since round 4: only unambiguous referents make
+        # instructions (a word that appears twice in a scene cannot be
+        # grounded by text alone — same rule the icon targets use)
+        lowered = [t.strip().lower() for t in texts]
         for box, text in zip(tboxes, texts):
             if len(text.strip()) < 4:
+                continue
+            if lowered.count(text.strip().lower()) != 1:
                 continue
             rows.append({
                 "img_path": img,

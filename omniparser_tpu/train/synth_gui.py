@@ -39,7 +39,7 @@ from omniparser_tpu.train.synth_text import (_FONT_FILES, _font, pick_font,
                                              sample_text)
 
 # bump to invalidate /tmp training-data caches when generators change
-DATA_VERSION = 9
+DATA_VERSION = 10
 
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",
@@ -547,8 +547,13 @@ def render_gui_scene(
         local = np.asarray(canvas)[y:y + th, x:x + tw].mean()
         draw.text((x - bx0, y - by0), text, fill=text_color(local), font=font)
         claim(x, y, tw, th)
-        texts.append(text)
-        text_boxes.append([x, y, x + tw, y + th])
+        # word-level GT (easyocr granularity; synth_text.split_words)
+        from omniparser_tpu.train.synth_text import split_words
+
+        for word, wx0, wx1 in split_words(text, font):
+            texts.append(word)
+            text_boxes.append([int(x - bx0 + wx0), y,
+                               min(int(x - bx0 + wx1), x + tw), y + th])
         return True
 
     def put_icon(x, y, s, kind=None) -> bool:

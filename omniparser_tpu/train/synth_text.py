@@ -173,6 +173,28 @@ def _font(path: str, size: int):
     return ImageFont.truetype(path, size)
 
 
+def split_words(text: str, font):
+    """Per-word horizontal extents inside a rendered line, via prefix
+    advance widths (the same metric PIL uses to place glyphs).  Returns
+    [(word, x0, x1)] relative to the line's draw origin.
+
+    The reference's easyocr returns word/phrase-level boxes, not whole
+    visual lines (behavior surface: util/utils.py:504-540) — training
+    the text detector on word boxes makes our components match that
+    granularity, which word-level grounding instructions depend on
+    (a 'Layout' click must not land on the centroid of
+    'Layout References Mailings')."""
+    out = []
+    pos = 0
+    for word in text.split(" "):
+        if word:
+            x0 = font.getlength(text[:pos])
+            x1 = font.getlength(text[:pos + len(word)])
+            out.append((word, x0, x1))
+        pos += len(word) + 1
+    return out
+
+
 def pick_font(rng: np.random.Generator, text: str, size: int):
     """Random face honoring per-font banned chars (_FONT_BAN): TeX-cmap
     faces fall back to a DejaVu face when the text needs <>|\\{}."""
@@ -448,8 +470,12 @@ def render_screenshot(
         region = arr[y - 1 : y - 1 + mask.shape[0], x - 1 : x - 1 + mask.shape[1]]
         region[:] = region * (1 - mask) + fg * mask
         occupied[ys:ye, xs:xe] = True
-        boxes.append([x, y, x + tw, y + th])
-        texts.append(text)
+        # word-level GT (easyocr granularity — see split_words docstring);
+        # draw origin is x - bx0, so word extents shift by -bx0
+        for word, wx0, wx1 in split_words(text, font):
+            boxes.append([int(x - bx0 + wx0), y,
+                          min(int(x - bx0 + wx1), x + tw), y + th])
+            texts.append(word)
 
     if rng.random() < 0.4:
         arr = arr + rng.normal(0.0, rng.uniform(1.0, 4.0), arr.shape)
