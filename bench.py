@@ -104,10 +104,15 @@ def main():
     }
 
     # pipelined batched throughput (the serving configuration; BASELINE
-    # config 4 "multi-screenshot batched parse").  Median of 5 rounds damps
-    # (not eliminates) tunnel-bandwidth variance.
+    # config 4 "multi-screenshot batched parse").  Median over >=5 rounds
+    # damps (not eliminates) tunnel-bandwidth variance; when the first 5
+    # fit the budget, extra rounds (up to 9 / ~75 s total) tighten the
+    # median against single-round weather stalls.
     round_times = []
-    for _ in range(5):
+    t_bench = time.perf_counter()
+    for i in range(9):
+        if i >= 5 and time.perf_counter() - t_bench > 75.0:
+            break
         t0 = time.perf_counter()
         pipeline.parse_batch(imgs)
         round_times.append(time.perf_counter() - t0)

@@ -107,6 +107,70 @@ def place_label(
     return last
 
 
+def place_labels_batch(
+    pad: int,
+    tws: np.ndarray,
+    ths: np.ndarray,
+    boxes: np.ndarray,
+    image_wh: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All-boxes-at-once twin of place_label: for each box pick the first of
+    the four candidates (util/box_annotator.py:207-262 priority order) that
+    stays in-image and has max(iou, inter/area) <= 0.3 against EVERY
+    detection; fall back to the last candidate.  One [N,4,N] broadcast
+    replaces the per-box Python loop (the annotate hot spot: ~4N vectorized
+    IoU calls -> one).
+
+    tws/ths: [N] int text sizes.  boxes: [N,4] int xyxy (the detections are
+    also the obstacle set, matching the reference — labels do not avoid
+    other labels).  Returns (tx [N], ty [N], bg [N,4]) int arrays.
+    """
+    n = len(boxes)
+    if n == 0:
+        z = np.zeros((0,), int)
+        return z, z, np.zeros((0, 4), int)
+    W, H = image_wh
+    x1, y1, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2]
+    tw, th = tws, ths
+    p = pad
+    # candidate text anchors and bg boxes, [N, 4] each (c axis = priority)
+    tx = np.stack([x1 + p, x1 - p - tw, x2 + p, x2 - p - tw], 1)
+    ty = np.stack([y1 - p, y1 + p + th, y1 + p + th, y1 - p], 1)
+    bg = np.stack([
+        np.stack([x1, y1 - 2 * p - th, x1 + 2 * p + tw, y1], 1),      # top left
+        np.stack([x1 - 2 * p - tw, y1, x1, y1 + 2 * p + th], 1),      # outer left
+        np.stack([x2, y1, x2 + 2 * p + tw, y1 + 2 * p + th], 1),      # outer right
+        np.stack([x2 - 2 * p - tw, y1 - 2 * p - th, x2, y1], 1),      # top right
+    ], 1)  # [N, 4c, 4]
+    in_img = (bg[:, :, 0] >= 0) & (bg[:, :, 1] >= 0) \
+        & (bg[:, :, 2] <= W) & (bg[:, :, 3] <= H)
+    # overlap score of every candidate bg against every detection, [N,4c,N]
+    b = bg[:, :, None, :].astype(np.float64)
+    d = boxes[None, None, :, :].astype(np.float64)
+    iw = np.minimum(b[..., 2], d[..., 2]) - np.maximum(b[..., 0], d[..., 0])
+    ih = np.minimum(b[..., 3], d[..., 3]) - np.maximum(b[..., 1], d[..., 1])
+    inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+    area_bg = (bg[:, :, 2] - bg[:, :, 0]) * (bg[:, :, 3] - bg[:, :, 1])
+    area_bg = area_bg[:, :, None].astype(np.float64)
+    area_d = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+    area_d = area_d[None, None, :].astype(np.float64)
+    union = area_bg + area_d - inter
+    iou = np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+    both = (area_bg > 0) & (area_d > 0)
+    score = np.where(
+        both,
+        np.maximum(iou, np.maximum(
+            inter / np.where(area_bg > 0, area_bg, 1.0),
+            inter / np.where(area_d > 0, area_d, 1.0))),
+        iou,
+    )
+    ok = in_img & ~(score > _LABEL_IOU_REJECT).any(-1)      # [N, 4c]
+    # first accepted candidate, else the last one iterated (c=3)
+    pick = np.where(ok.any(1), ok.argmax(1), 3)
+    rows = np.arange(n)
+    return tx[rows, pick], ty[rows, pick], bg[rows, pick]
+
+
 def annotate_som(
     image_rgb: np.ndarray,
     boxes_xyxy_px: np.ndarray,
@@ -126,21 +190,30 @@ def annotate_som(
     H, W = scene.shape[:2]
     font = cv2.FONT_HERSHEY_SIMPLEX
     boxes = boxes_xyxy_px.astype(int)
-    det_list = [tuple(b) for b in boxes]
     if labels is None:
         labels = [str(i) for i in range(len(boxes))]
 
-    for i, (x1, y1, x2, y2) in enumerate(det_list):
+    # text sizes, cached by string (labels are short index strings — a
+    # handful of distinct getTextSize calls instead of N)
+    size_cache: Dict[str, Tuple[int, int]] = {}
+    for t in labels:
+        if t not in size_cache:
+            size_cache[t] = cv2.getTextSize(t, font, text_scale, text_thickness)[0]
+    tws = np.array([size_cache[t][0] for t in labels], int)
+    ths = np.array([size_cache[t][1] for t in labels], int)
+    txs, tys, bgs = place_labels_batch(text_padding, tws, ths, boxes, (W, H))
+
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
         color = _hex_to_rgb(palette[i % len(palette)])
-        cv2.rectangle(scene, (x1, y1), (x2, y2), color, thickness)
-        text = labels[i]
-        (tw, th), _ = cv2.getTextSize(text, font, text_scale, text_thickness)
-        tx, ty, bg = place_label(text_padding, tw, th, (x1, y1, x2, y2), det_list, (W, H))
-        cv2.rectangle(scene, (bg[0], bg[1]), (bg[2], bg[3]), color, cv2.FILLED)
+        cv2.rectangle(scene, (int(x1), int(y1)), (int(x2), int(y2)), color, thickness)
+        bg = bgs[i]
+        cv2.rectangle(scene, (int(bg[0]), int(bg[1])), (int(bg[2]), int(bg[3])),
+                      color, cv2.FILLED)
         # text color by background luminance (util/box_annotator.py:148-150)
         lum = 0.299 * color[0] + 0.587 * color[1] + 0.114 * color[2]
         text_color = (0, 0, 0) if lum > 160 else (255, 255, 255)
-        cv2.putText(scene, text, (tx, ty), font, text_scale, text_color, text_thickness, cv2.LINE_AA)
+        cv2.putText(scene, labels[i], (int(txs[i]), int(tys[i])), font, text_scale,
+                    text_color, text_thickness, cv2.LINE_AA)
     return scene
 
 

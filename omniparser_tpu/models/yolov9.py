@@ -434,7 +434,8 @@ class YOLOv9Detector:
             top_valid = top_scores > 0
             # torchvision.ops.batched_nms semantics: per-class via the
             # coordinate-offset trick (classes never suppress each other).
-            # Data-dependent stride like torchvision's (max-min+1): unclamped
+            # Data-dependent stride (max-min+1) — a strictly-safe variant of
+            # torchvision's max_coordinate+1 offset: unclamped
             # DFL boxes can extend (REG_MAX-1)*32 px past the letterbox, so a
             # th+tw constant could let adjacent classes overlap.
             stride = top_boxes.max() - top_boxes.min() + 1.0

@@ -31,13 +31,21 @@ def pick_bucket(h: int, w: int, buckets: Tuple[int, ...]) -> int:
     return max(buckets)
 
 
-def pick_bucket_2d(h: int, w: int, step: int = 512, max_side: int = 8192) -> Tuple[int, int]:
+def pick_bucket_2d(h: int, w: int, step: int = 128, max_side: int = 8192) -> Tuple[int, int]:
     """Per-axis static bucket: round each dim up to a multiple of `step`.
 
     Raw screenshots can be 4K+ (ScreenSpot-Pro), far above any detector
     input size — the raw bucket only needs to *contain* the image; the
     jitted letterbox scales down from it with a dynamic ratio.  Compiled
     graph count = distinct (Hb, Wb) pairs actually seen (cached).
+
+    step=128 (was 512 through round 4): the padded buffer IS the
+    host->device upload, and the tunnel wire is the serving bottleneck
+    (PERF.md).  On the 8 reference screenshots at the 1920 upload cap,
+    512-step buckets transfer 67.6 MB vs 51.0 MB at 128-step — a 25%
+    wire cut for at most a handful of extra cached graphs (5 distinct
+    buckets vs 4 on that set).  128 keeps W a multiple of the TPU lane
+    width; the persistent compilation cache absorbs the extra compiles.
     """
     hb = min(-(-h // step) * step, max_side)
     wb = min(-(-w // step) * step, max_side)

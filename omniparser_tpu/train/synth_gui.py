@@ -31,6 +31,7 @@ OCR stage's training distribution (no detector/OCR domain mismatch).
 from __future__ import annotations
 
 import io
+import math
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -318,10 +319,14 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
                      outline=fg, width=w)
     elif kind == "undo":
         draw.arc([x + m, y + m, x2 - m, y2 - m], 90, 315, fill=fg, width=w)
-        ax, ay = x + m, cy - (s / 2 - m) * 0.0 - (s / 2 - m)
+        # Arrowhead at the arc's actual 315-degree endpoint (PIL angles are
+        # clockwise from 3 o'clock with y down -> upper-right of the arc).
+        r = (x2 - x) / 2 - m
+        ax = cx + r * math.cos(math.radians(315))
+        ay = cy + r * math.sin(math.radians(315))
         q = max(s // 5, 2)
-        draw.polygon([(x + m - q // 2, y + m + q), (x + m + q, y + m - q // 2),
-                      (x + m + q, y + m + q)], fill=fg)
+        draw.polygon([(ax - q, ay), (ax + q // 2, ay - q), (ax + q // 2, ay + q)],
+                     fill=fg)
     elif kind in ("bold", "italic", "underline"):
         ch = {"bold": "B", "italic": "I", "underline": "U"}[kind]
         f = _bold_font(max(s - 2, 6)) if kind == "bold" else \
@@ -535,15 +540,19 @@ def render_gui_scene(
         return ((0, 0, 0) if local_mean > 128 else (255, 255, 255)) \
             if rng.random() < 0.7 else _rand_color(rng, base)
 
-    def put_text(x, y, text, sizept) -> bool:
+    def put_text(x, y, text, sizept) -> int:
+        # Returns the rendered text width (>= 2, truthy) on success, 0 on
+        # failure — callers that space subsequent elements must advance by
+        # this width, not by a separately-measured probe (pick_font is
+        # random, so a second measurement can use a different face).
         font = pick_font(rng, text, sizept)
         probe = ImageDraw.Draw(Image.new("L", (8, 8)))
         bx0, by0, bx1, by1 = probe.textbbox((0, 0), text, font=font)
         tw, th = bx1 - bx0, by1 - by0
         if tw < 2 or th < 2 or x + tw >= size - 1 or y + th >= size - 1:
-            return False
+            return 0
         if not free(x, y, tw, th):
-            return False
+            return 0
         local = np.asarray(canvas)[y:y + th, x:x + tw].mean()
         draw.text((x - bx0, y - by0), text, fill=text_color(local), font=font)
         claim(x, y, tw, th)
@@ -554,7 +563,7 @@ def render_gui_scene(
             texts.append(word)
             text_boxes.append([int(x - bx0 + wx0), y,
                                min(int(x - bx0 + wx1), x + tw), y + th])
-        return True
+        return tw
 
     def put_icon(x, y, s, kind=None) -> bool:
         if x + s >= size - 1 or y + s >= size - 1 or not free(x, y, s, s):
@@ -619,12 +628,10 @@ def render_gui_scene(
         pt = int(rng.integers(10, 16))
         for _ in range(int(rng.integers(4, 9))):
             word = sample_text(rng, max_chars=9).split(" ")[0] or "File"
-            font = pick_font(rng, word, pt)
-            probe = ImageDraw.Draw(Image.new("L", (8, 8)))
-            b = probe.textbbox((0, 0), word, font=font)
-            if not put_text(x, y, word, pt):
+            tw = put_text(x, y, word, pt)
+            if not tw:
                 break
-            x += (b[2] - b[0]) + int(rng.integers(14, 34))
+            x += tw + int(rng.integers(14, 34))
             if x >= size - 30:
                 break
 

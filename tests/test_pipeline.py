@@ -135,6 +135,33 @@ def test_annotate_label_positions(rng):
     assert w == pytest.approx(0.2 * 200, abs=1) and h == pytest.approx(0.2 * 200, abs=1)
 
 
+def test_place_labels_batch_matches_loop(rng):
+    """The vectorized all-boxes placement must pick the identical candidate
+    (text anchor AND bg box) as the per-box place_label loop, including the
+    in-image rejection, the 0.3 overlap rejection, and the last-candidate
+    fallback."""
+    from omniparser_tpu.annotate import place_label, place_labels_batch
+
+    for trial in range(20):
+        n = int(rng.integers(1, 60))
+        W, H = int(rng.integers(100, 800)), int(rng.integers(100, 800))
+        x1 = rng.integers(-20, W, n)
+        y1 = rng.integers(-20, H, n)
+        boxes = np.stack([x1, y1,
+                          x1 + rng.integers(1, 120, n),
+                          y1 + rng.integers(1, 80, n)], 1).astype(int)
+        tws = rng.integers(4, 40, n).astype(int)
+        ths = rng.integers(4, 18, n).astype(int)
+        pad = int(rng.integers(1, 8))
+        txs, tys, bgs = place_labels_batch(pad, tws, ths, boxes, (W, H))
+        det_list = [tuple(b) for b in boxes]
+        for i in range(n):
+            tx, ty, bg = place_label(
+                pad, int(tws[i]), int(ths[i]), det_list[i], det_list, (W, H))
+            assert (txs[i], tys[i]) == (tx, ty), (trial, i)
+            assert tuple(bgs[i]) == tuple(bg), (trial, i)
+
+
 def test_max_som_side_downscales_overlay_only(rng):
     cfg = PipelineConfig(
         detector=DetectorConfig(default_imgsz=160, max_detections=16),

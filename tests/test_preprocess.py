@@ -20,6 +20,10 @@ def test_pick_bucket_2d():
     # 4K screenshots (ScreenSpot-Pro) must land in a containing bucket
     assert P.pick_bucket_2d(2159, 3239, step=512) == (2560, 3584)
     assert P.pick_bucket_2d(512, 512, step=512) == (512, 512)
+    # default step is 128 (upload-wire economy; see pick_bucket_2d docstring)
+    assert P.pick_bucket_2d(2159, 3239) == (2176, 3328)
+    assert P.pick_bucket_2d(1079, 1919) == (1152, 1920)
+    assert P.pick_bucket_2d(128, 128) == (128, 128)
     with pytest.raises(ValueError):
         P.pick_bucket_2d(9000, 100, max_side=8192)
 
