@@ -86,7 +86,7 @@ def _crop_kernel(meta_ref, img_ref, out_ref, wcols, band, sems):
         y0 = jnp.minimum(y0f.astype(jnp.int32), img_h - 2)
         fy = jnp.where(y0f.astype(jnp.int32) > img_h - 2, 1.0, fy)
         # 8-aligned 16-row band containing y0 and y0+1 (img_h is a multiple
-        # of 8 — raw buckets are 512-multiples); hint Mosaic about alignment
+        # of 8 — raw buckets are 128-multiples); hint Mosaic about alignment
         y_blk = pl.multiple_of(jnp.clip((y0 // 8) * 8, 0, img_h - 16), 8)
         off = y0 - y_blk
 

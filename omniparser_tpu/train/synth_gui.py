@@ -40,7 +40,7 @@ from omniparser_tpu.train.synth_text import (_FONT_FILES, _font, pick_font,
                                              sample_text)
 
 # bump to invalidate /tmp training-data caches when generators change
-DATA_VERSION = 10
+DATA_VERSION = 11
 
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",
@@ -206,8 +206,13 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
                      180, 360, fill=fg, width=w)
             draw.line([x + m // 2, y2 - m - s // 8,
                        x2 - m // 2, y2 - m - s // 8], fill=fg, width=w)
-            draw.line([x + m, y2 - m - s // 8, x + m, cy], fill=fg, width=w)
-            draw.line([x2 - m, y2 - m - s // 8, x2 - m, cy], fill=fg, width=w)
+            # flared skirt (real Fluent bells widen toward the base; the
+            # round-5 confusion bell->refresh came from reading the dome
+            # arc as a refresh arc — the slanted sides break that)
+            draw.line([x + m // 2, y2 - m - s // 8, x + m, cy],
+                      fill=fg, width=w)
+            draw.line([x2 - m // 2, y2 - m - s // 8, x2 - m, cy],
+                      fill=fg, width=w)
         else:
             draw.pieslice([x + m, y + m // 2, x2 - m, y2 - m], 180, 360,
                           fill=fg)
@@ -217,11 +222,24 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
         q = max(s // 10, 1)
         draw.ellipse([cx - q, y2 - m - q, cx + q, y2 - m + q], fill=fg)
     elif kind == "chat":
-        draw.ellipse([x + 1, y + m // 2, x2 - 1, y2 - m - 1],
-                     fill=fg if rng.random() < 0.6 else None,
-                     outline=fg, width=w)
-        draw.polygon([(x + s // 4, y2 - m - 2), (x + s // 2, y2 - m - 2),
-                      (x + s // 5, y2 - 1)], fill=fg)
+        if rng.random() < 0.5:
+            # Teams/Fluent-style bubble: rounded SQUARE outline with the
+            # tail cut from the lower-left (the round-5 real-pixels
+            # confusion was chat->menu; the rounded-rect body + clearly
+            # exterior tail separates it from hamburger lines)
+            r = max(s // 4, 2)
+            draw.rounded_rectangle([x + 1, y + m // 2, x2 - 1, y2 - m - 1],
+                                   radius=r,
+                                   fill=fg if rng.random() < 0.4 else None,
+                                   outline=fg, width=w)
+            draw.polygon([(x + s // 4, y2 - m - 2), (x + s // 2, y2 - m - 2),
+                          (x + s // 6, y2 - 1)], fill=fg)
+        else:
+            draw.ellipse([x + 1, y + m // 2, x2 - 1, y2 - m - 1],
+                         fill=fg if rng.random() < 0.6 else None,
+                         outline=fg, width=w)
+            draw.polygon([(x + s // 4, y2 - m - 2), (x + s // 2, y2 - m - 2),
+                          (x + s // 5, y2 - 1)], fill=fg)
     elif kind == "calendar":
         draw.rectangle([x + 1, y + m, x2 - 1, y2 - 1], outline=fg, width=w)
         draw.rectangle([x + 1, y + m, x2 - 1, y + m + max(s // 5, 2)], fill=fg)
@@ -287,7 +305,9 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
         draw.arc([x + m, y + m, x2 - m, y2 - m], 300, 210, fill=fg, width=w)
         ax = cx + (s / 2 - m) * np.cos(-np.pi / 3)
         ay = cy + (s / 2 - m) * np.sin(-np.pi / 3)
-        q = max(s // 5, 2)
+        # prominent arrowhead: without it a refresh arc is just "an arc",
+        # which the captioner then sees in every dome/bell/undo glyph
+        q = max(s // 4, 3)
         draw.polygon([(ax + q, ay - q // 2), (ax - q // 2, ay - q // 2),
                       (ax + q // 4, ay + q)], fill=fg)
     elif kind == "grid":
@@ -465,6 +485,22 @@ def render_icon_tile(
         delta = float(rng.integers(45, 90)) * (1 if lm < 128 else -1)
         fg = tuple(int(np.clip(c + delta, 0, 255)) for c in local)
     kind = _paste_icon(img, rng, x, y, s, fg, local, kind=kind)
+    # rail/toolbar composite (~20%): real detector crops on an app rail
+    # catch the NEIGHBOR glyphs' edges at the crop border (round-5 teams
+    # diagnosis: every left-rail icon crop contains slices of the icons
+    # above/below it).  Draw distractor glyphs one stride away — PIL
+    # clips whatever falls outside the tile, leaving partial edges.
+    if rng.random() < 0.2:
+        gap = int(rng.integers(s // 2, s + 8))
+        vertical = rng.random() < 0.6
+        for sign in (-1, 1):
+            if rng.random() < 0.25:
+                continue
+            nx = x if vertical else x + sign * (s + gap)
+            ny = y + sign * (s + gap) if vertical else y
+            # aa=False: the AA path crop/pastes an s x s patch, which
+            # stamps black corners when the box hangs off the canvas
+            _paste_icon(img, rng, nx, ny, s, fg, local, aa=False)
     if rng.random() < 0.25:  # neighboring label text in the tile
         label = sample_text(rng, max_chars=10)
         f = pick_font(rng, label, int(rng.integers(9, 14)))
