@@ -40,7 +40,7 @@ from omniparser_tpu.train.synth_text import (_FONT_FILES, _font, pick_font,
                                              sample_text)
 
 # bump to invalidate /tmp training-data caches when generators change
-DATA_VERSION = 11
+DATA_VERSION = 12
 
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",
@@ -102,6 +102,29 @@ def _rand_color(rng, base=None, min_contrast=70):
 def _bold_font(size: int):
     bold = [f for f in _FONT_FILES if "Bold" in f]
     return _font((bold or _FONT_FILES)[0], size)
+
+
+def _italic_font(size: int):
+    """A slanted face for the italic-button glyph (real toolbar italics
+    are oblique; an upright 'I' reads as a bar/digit in blurry crops).
+    DejaVu ships no Oblique in the system dir — fall back to
+    matplotlib's bundled mpl-data faces, then upright."""
+    import os
+
+    candidates = [f for f in _FONT_FILES
+                  if "Oblique" in f or "Italic" in f]
+    if not candidates:
+        try:
+            import matplotlib
+
+            mdir = os.path.join(matplotlib.get_data_path(), "fonts", "ttf")
+            for name in ("DejaVuSerif-Italic.ttf", "DejaVuSans-Oblique.ttf"):
+                p = os.path.join(mdir, name)
+                if os.path.exists(p):
+                    candidates.append(p)
+        except Exception:
+            pass
+    return _font((candidates or _FONT_FILES)[0], size)
 
 
 def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
@@ -185,6 +208,18 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
     elif kind == "folder":
         draw.rectangle([x, y + s // 4, x2, y2], fill=fg)
         draw.rectangle([x, y + s // 8, x + s // 2, y + s // 4], fill=fg)
+        if rng.random() < 0.5:
+            # Windows-Explorer-style two-tone: lighter front face over the
+            # darker back+tab, optional accent band across the lower front
+            # (round-5 real-crops audit: the yellow+blue-band folders in
+            # demo_image.jpg/onenote.png read as 'image icon')
+            front = tuple(int(np.clip(c * 1.25 + 25, 0, 255)) for c in fg)
+            draw.rectangle([x, y + s * 3 // 8, x2, y2], fill=front)
+            if rng.random() < 0.4:
+                band = (int(rng.integers(30, 90)), int(rng.integers(90, 160)),
+                        int(rng.integers(180, 240)))
+                draw.rectangle([x + s // 6, y2 - s // 4, x2 - s // 6,
+                                y2 - s // 12], fill=band)
     elif kind == "toggle":
         draw.rounded_rectangle([x, y + s // 4, x2, y2 - s // 4],
                                radius=s // 4, fill=fg)
@@ -323,12 +358,22 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
                     draw.rectangle([px - q, py - q, px + q, py + q], fill=fg)
     elif kind == "mic":
         r = max(s // 5, 2)
+        if rng.random() < 0.3:
+            # brand multicolor (the Google mic in google_page/demo_image:
+            # blue capsule, red+yellow cradle, green stem) — single-color
+            # training alone read it as texture
+            jit = lambda c: tuple(int(np.clip(v + rng.integers(-25, 25),
+                                              0, 255)) for v in c)
+            c_body, c_arc, c_stem = (jit((66, 133, 244)),
+                                     jit((234, 67, 53)), jit((52, 168, 83)))
+        else:
+            c_body = c_arc = c_stem = fg
         draw.rounded_rectangle([cx - r, y + m, cx + r, cy + r], radius=r,
-                               fill=fg)
+                               fill=c_body)
         draw.arc([cx - 2 * r, y + m + r, cx + 2 * r, cy + 2 * r], 0, 180,
-                 fill=fg, width=w)
-        draw.line([cx, cy + 2 * r, cx, y2 - m], fill=fg, width=w)
-        draw.line([cx - r, y2 - m, cx + r, y2 - m], fill=fg, width=w)
+                 fill=c_arc, width=w)
+        draw.line([cx, cy + 2 * r, cx, y2 - m], fill=c_stem, width=w)
+        draw.line([cx - r, y2 - m, cx + r, y2 - m], fill=c_stem, width=w)
     elif kind == "camera":
         draw.rounded_rectangle([x + 1, y + m + 1, x2 - 1, y2 - m], radius=2,
                                outline=fg, width=w)
@@ -349,8 +394,9 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
                      fill=fg)
     elif kind in ("bold", "italic", "underline"):
         ch = {"bold": "B", "italic": "I", "underline": "U"}[kind]
-        f = _bold_font(max(s - 2, 6)) if kind == "bold" else \
-            _font(_FONT_FILES[0], max(s - 2, 6))
+        f = (_bold_font(max(s - 2, 6)) if kind == "bold"
+             else _italic_font(max(s - 2, 6)) if kind == "italic"
+             else _font(_FONT_FILES[0], max(s - 2, 6)))
         bx0, by0, bx1, by1 = draw.textbbox((0, 0), ch, font=f)
         tw, th = bx1 - bx0, by1 - by0
         ox = x + (s - tw) // 2 - bx0
@@ -484,13 +530,50 @@ def render_icon_tile(
         lm = np.mean(local)
         delta = float(rng.integers(45, 90)) * (1 if lm < 128 else -1)
         fg = tuple(int(np.clip(c + delta, 0, 255)) for c in local)
+    # APP-ICON variant (~15%): iOS/Android launcher icons are a light
+    # glyph on a saturated rounded-square plate that fills the detector
+    # box (round-5 real-crops audit: every ios.png icon — phone, chat,
+    # music, wifi — is white-on-color; the plateless captioner read them
+    # as 'image icon').  The plate becomes the glyph's background.
+    app_plate = rng.random() < 0.15
+    if app_plate:
+        import colorsys
+
+        hue = float(rng.uniform(0, 1))
+        rr, gg, bb = colorsys.hsv_to_rgb(hue, float(rng.uniform(0.6, 1.0)),
+                                         float(rng.uniform(0.55, 0.95)))
+        plate = (int(rr * 255), int(gg * 255), int(bb * 255))
+        pad = max(s // 8, 2)
+        draw.rounded_rectangle(
+            [x - pad, y - pad, x + s + pad, y + s + pad],
+            radius=max((s + 2 * pad) // 4, 2), fill=plate)
+        local = plate
+        fg = tuple(int(rng.integers(235, 256)) for _ in range(3))
     kind = _paste_icon(img, rng, x, y, s, fg, local, kind=kind)
+    # NOTIFICATION BADGE (~12%): Teams/OneNote rail bells and chat
+    # bubbles carry a red counter badge overlapping the glyph's top-right
+    # corner; untrained, the badge dominated the crop and broke the kind
+    # (round-5 real-crops audit: bell+«16» -> 'calendar icon').
+    if rng.random() < 0.12:
+        br = max(int(s * rng.uniform(0.22, 0.38)), 3)
+        bcx = x + s - int(rng.uniform(-0.3, 0.5) * br)
+        bcy = y + int(rng.uniform(-0.3, 0.5) * br)
+        bcol = (int(rng.integers(200, 245)), int(rng.integers(16, 60)),
+                int(rng.integers(16, 60)))
+        draw.ellipse([bcx - br, bcy - br, bcx + br, bcy + br], fill=bcol)
+        if br >= 5 and rng.random() < 0.8:
+            num = str(rng.integers(1, 100 if br >= 7 else 10))
+            bf = _font(_FONT_FILES[0], max(int(br * 1.3), 6))
+            tx0, ty0, tx1, ty1 = draw.textbbox((0, 0), num, font=bf)
+            draw.text((bcx - (tx1 - tx0) / 2 - tx0,
+                       bcy - (ty1 - ty0) / 2 - ty0), num,
+                      fill=(255, 255, 255), font=bf)
     # rail/toolbar composite (~20%): real detector crops on an app rail
     # catch the NEIGHBOR glyphs' edges at the crop border (round-5 teams
     # diagnosis: every left-rail icon crop contains slices of the icons
     # above/below it).  Draw distractor glyphs one stride away — PIL
     # clips whatever falls outside the tile, leaving partial edges.
-    if rng.random() < 0.2:
+    if not app_plate and rng.random() < 0.2:
         gap = int(rng.integers(s // 2, s + 8))
         vertical = rng.random() < 0.6
         for sign in (-1, 1):
