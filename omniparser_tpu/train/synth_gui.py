@@ -16,7 +16,7 @@ random colors:
   * structure — menu bars, icon toolbars, taskbars, left icon rails with
     labels, and desktop-style icon grids with captions, not just uniform
     scatter;
-  * glyph families — 32 kinds covering the icons that actually appear in
+  * glyph families — 33 kinds covering the icons that actually appear in
     the reference screenshots (bell, chat bubble, calendar, phone, cloud,
     smiley, paper-plane, refresh, app grid, mic, camera, undo, B/I/U,
     wifi, battery, music note, ... plus the original 14);
@@ -40,7 +40,7 @@ from omniparser_tpu.train.synth_text import (_FONT_FILES, _font, pick_font,
                                              sample_text)
 
 # bump to invalidate /tmp training-data caches when generators change
-DATA_VERSION = 12
+DATA_VERSION = 19
 
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",
@@ -49,6 +49,10 @@ ICON_KINDS = (
     "bell", "chat", "calendar", "phone", "cloud", "smiley", "send",
     "refresh", "grid", "mic", "camera", "undo", "bold", "italic",
     "underline", "wifi", "battery", "music",
+    # round-5: left-pointing arrows are their own family — real browser
+    # back buttons ground against "back arrow icon", which a generic
+    # "arrow icon" caption cannot exact-match (eval/real_gt.json)
+    "back",
 )
 
 # real-GUI accent colors (material/fluent-ish)
@@ -165,22 +169,28 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
         draw.ellipse([x + m, y + m, x + m + d, y + m + d], outline=fg, width=w)
         draw.line([x + m + d, y + m + d, x2 - 1, y2 - 1], fill=fg, width=w)
     elif kind == "arrow":
+        # rightward only — leftward arrows are the 'back' family
         if rng.random() < 0.5:
-            # browser-style back/forward arrow: shaft + thin chevron head
-            left = rng.random() < 0.5
-            hx = x + m if left else x2 - m
-            tx = x2 - m if left else x + m
+            # browser-style forward arrow: shaft + thin chevron head
+            hx, tx = x2 - m, x + m
             draw.line([hx, cy, tx, cy], fill=fg, width=w)
             q = s / 2 - m
-            draw.line([hx, cy, hx + (q if left else -q), cy - q],
-                      fill=fg, width=w)
-            draw.line([hx, cy, hx + (q if left else -q), cy + q],
-                      fill=fg, width=w)
-        elif rng.random() < 0.5:
-            pts = [(x + m, y + s / 2), (x2 - m, y + m), (x2 - m, y2 - m)]
-            draw.polygon(pts, fill=fg)
+            draw.line([hx, cy, hx - q, cy - q], fill=fg, width=w)
+            draw.line([hx, cy, hx - q, cy + q], fill=fg, width=w)
         else:
             pts = [(x2 - m, y + s / 2), (x + m, y + m), (x + m, y2 - m)]
+            draw.polygon(pts, fill=fg)
+    elif kind == "back":
+        # left-pointing back arrow (browser/app-bar): shaft + chevron
+        # head, or filled triangle
+        if rng.random() < 0.7:
+            hx, tx = x + m, x2 - m
+            draw.line([hx, cy, tx, cy], fill=fg, width=w)
+            q = s / 2 - m
+            draw.line([hx, cy, hx + q, cy - q], fill=fg, width=w)
+            draw.line([hx, cy, hx + q, cy + q], fill=fg, width=w)
+        else:
+            pts = [(x + m, y + s / 2), (x2 - m, y + m), (x2 - m, y2 - m)]
             draw.polygon(pts, fill=fg)
     elif kind == "star":
         pts = []
@@ -257,7 +267,21 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
         q = max(s // 10, 1)
         draw.ellipse([cx - q, y2 - m - q, cx + q, y2 - m + q], fill=fg)
     elif kind == "chat":
-        if rng.random() < 0.5:
+        r_chat = rng.random()
+        if r_chat < 0.3:
+            # Teams-launcher-style: filled circular bubble with 2-3
+            # bg-colored text lines inside and a small tail (round-5:
+            # the real teams.png chat icon is exactly this and the
+            # outline-only training read it as 'emoji icon')
+            draw.ellipse([x + 1, y + 1, x2 - 1, y2 - m // 2], fill=fg)
+            draw.polygon([(x + s // 5, y2 - m - 2), (x + s // 2, y2 - m // 2),
+                          (x + s // 7, y2 - 1)], fill=fg)
+            ln = 2 + int(rng.random() < 0.5)
+            for i in range(ln):
+                ly_ = y + s // 3 + i * max(s // 6, 2)
+                draw.line([x + s // 4, ly_, x2 - s // 4 - (s // 6 if i == ln - 1 else 0), ly_],
+                          fill=bg, width=max(w // 2, 1))
+        elif r_chat < 0.65:
             # Teams/Fluent-style bubble: rounded SQUARE outline with the
             # tail cut from the lower-left (the round-5 real-pixels
             # confusion was chat->menu; the rounded-rect body + clearly
@@ -276,10 +300,22 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
             draw.polygon([(x + s // 4, y2 - m - 2), (x + s // 2, y2 - m - 2),
                           (x + s // 5, y2 - 1)], fill=fg)
     elif kind == "calendar":
-        draw.rectangle([x + 1, y + m, x2 - 1, y2 - 1], outline=fg, width=w)
-        draw.rectangle([x + 1, y + m, x2 - 1, y + m + max(s // 5, 2)], fill=fg)
-        for hx in (x + s // 3, x + 2 * s // 3):  # binding hangers
-            draw.rectangle([hx - w // 2, y, hx + w // 2, y + m + 1], fill=fg)
+        if outline_style:
+            # Fluent outline calendar (teams.png rail): rounded-rect
+            # outline, solid header band drawn as a thick line, dot grid
+            draw.rounded_rectangle([x + 1, y + m // 2, x2 - 1, y2 - 1],
+                                   radius=max(s // 8, 1), outline=fg,
+                                   width=w)
+            draw.line([x + 1, y + m + w, x2 - 1, y + m + w], fill=fg,
+                      width=w)
+        else:
+            draw.rectangle([x + 1, y + m, x2 - 1, y2 - 1], outline=fg,
+                           width=w)
+            draw.rectangle([x + 1, y + m, x2 - 1, y + m + max(s // 5, 2)],
+                           fill=fg)
+            for hx in (x + s // 3, x + 2 * s // 3):  # binding hangers
+                draw.rectangle([hx - w // 2, y, hx + w // 2, y + m + 1],
+                               fill=fg)
         q = max(s // 12, 1)
         for i in range(2):
             for jj in range(3):
@@ -334,10 +370,20 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
         draw.arc([x + s // 4, y + s // 4, x2 - s // 4, y2 - s // 5],
                  20, 160, fill=fg, width=w)
     elif kind == "send":
-        draw.polygon([(x + m // 2, y + m), (x2 - m // 2, cy),
-                      (x + m // 2, y2 - m), (x + m + s // 4, cy)], fill=fg)
+        pts = [(x + m // 2, y + m), (x2 - m // 2, cy),
+               (x + m // 2, y2 - m), (x + m + s // 4, cy)]
+        if outline_style:
+            # Teams' send glyph is a thin-stroke outline paper plane
+            draw.polygon(pts, outline=fg, width=w)
+            draw.line([x + m + s // 4, cy, x2 - m // 2, cy], fill=fg, width=w)
+        else:
+            draw.polygon(pts, fill=fg)
     elif kind == "refresh":
-        draw.arc([x + m, y + m, x2 - m, y2 - m], 300, 210, fill=fg, width=w)
+        # arc span 240-330 degrees: browser refresh glyphs are nearly a
+        # full ring (round-5 audit: the 270-only arc read as 'circle')
+        span = int(rng.integers(240, 331))
+        draw.arc([x + m, y + m, x2 - m, y2 - m], 300, (300 + span) % 360,
+                 fill=fg, width=w)
         ax = cx + (s / 2 - m) * np.cos(-np.pi / 3)
         ay = cy + (s / 2 - m) * np.sin(-np.pi / 3)
         # prominent arrowhead: without it a refresh arc is just "an arc",
@@ -439,13 +485,46 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
                       (x2 - m - 1, y + m - q // 2),
                       (x2 - m - 1, y + m + q), (x + m + 2 * q - w - 1,
                                                 y + m + q * 3 // 2)], fill=fg)
-    else:  # thumbnail: structured noise patch
+    elif kind == "thumbnail" and rng.random() < 0.5:
+        # structured noise patch (photo-thumbnail-like)
         noise = np.random.default_rng(int(rng.integers(1 << 31))).integers(
             0, 255, (max(s // 4, 2), max(s // 4, 2), 3), dtype=np.uint8)
         from PIL import Image
 
         tile = Image.fromarray(noise).resize((s, s))
         draw._image.paste(tile, (x, y))
+    else:  # thumbnail: CHROME FRAGMENT — what real junk detector boxes
+        # hold (partial widgets/text/panel edges clipped at the box
+        # border, round-5 teams audit).  Training these as 'image icon'
+        # makes the junk class a confident attractor so non-glyph boxes
+        # don't steal real glyph phrases (duplicate captions break
+        # grounding even when the true element is captioned right).
+        # Drawn on an s x s tile so off-edge primitives CLIP at the box
+        # border (the real junk look) without bleeding onto the canvas.
+        from PIL import Image, ImageDraw
+
+        frag_tile = Image.new("RGB", (s, s), bg)
+        fd = ImageDraw.Draw(frag_tile)
+        for _ in range(int(rng.integers(2, 5))):
+            c = _rand_color(rng, bg, min_contrast=40)
+            prim = int(rng.integers(0, 4))
+            px = int(rng.integers(-s // 2, s))
+            py = int(rng.integers(-s // 2, s))
+            q = int(rng.integers(s // 3, s + s // 2))
+            if prim == 0:
+                fd.rectangle([px, py, px + q, py + q],
+                             outline=c, width=max(w // 2, 1))
+            elif prim == 1:
+                fd.line([px, py, px + q,
+                         py + int(rng.integers(-q // 3, q // 3 + 1))],
+                        fill=c, width=max(w // 2, 1))
+            elif prim == 2:
+                fd.rectangle([px, py, px + q, py + max(q // 4, 2)], fill=c)
+            else:
+                frag = sample_text(rng, max_chars=6)
+                fd.text((px, py), frag, fill=c,
+                        font=_font(_FONT_FILES[0], max(int(s * 0.4), 7)))
+        draw._image.paste(frag_tile, (x, y))
     return kind
 
 
@@ -496,6 +575,14 @@ def render_icon_tile(
     """
     from PIL import Image, ImageDraw
 
+    # NOTE on the 'thumbnail' junk class: round-5 first DOWN-weighted it
+    # (it absorbed too many real glyphs), which backfired — junk detector
+    # boxes then spread across real glyph phrases, and duplicate captions
+    # break grounding even when the TRUE element is captioned right (the
+    # grounder/LLM must guess among 3 'send icon's).  The junk class must
+    # instead be a *confident* attractor for non-glyph crops — see the
+    # chrome-fragment branch in _draw_icon — so real glyph captions stay
+    # unique on icon-dense screens.
     theme = sample_theme(rng)
     base = theme.base if theme else tuple(int(x) for x in rng.integers(0, 256, 3))
     img = Image.new("RGB", (tile, tile), base)
@@ -568,6 +655,28 @@ def render_icon_tile(
             draw.text((bcx - (tx1 - tx0) / 2 - tx0,
                        bcy - (ty1 - ty0) / 2 - ty0), num,
                       fill=(255, 255, 255), font=bf)
+    # INK-TIGHT box (~55%): hand-annotated GT boxes (and detector boxes
+    # on real screens) hug the drawn pixels, not the nominal glyph
+    # square — a letter glyph like 'B' is half as wide as its square, so
+    # square-box training shows side margins real crops never have.
+    # Measured against the pre-glyph snapshot so panel clutter is
+    # excluded; the plate/badge count as ink (real GT includes them).
+    gx1, gy1, gx2, gy2 = x, y, x + s, y + s
+    if rng.random() < 0.55:
+        ext = int(0.6 * s)
+        r0, c0 = max(y - ext, 0), max(x - ext, 0)
+        r1, c1 = min(y + s + ext, tile), min(x + s + ext, tile)
+        now = np.asarray(img, np.int16)
+        diff = np.abs(now[r0:r1, c0:c1]
+                      - arr_probe[r0:r1, c0:c1].astype(np.int16)).max(-1)
+        ys_, xs_ = np.nonzero(diff > 18)
+        if len(xs_) > 4:
+            pw = int(rng.uniform(0, 0.12) * (xs_.max() - xs_.min() + 1)) + 1
+            ph = int(rng.uniform(0, 0.12) * (ys_.max() - ys_.min() + 1)) + 1
+            gx1 = max(c0 + int(xs_.min()) - pw, 0)
+            gy1 = max(r0 + int(ys_.min()) - ph, 0)
+            gx2 = min(c0 + int(xs_.max()) + 1 + pw, tile)
+            gy2 = min(r0 + int(ys_.max()) + 1 + ph, tile)
     # rail/toolbar composite (~20%): real detector crops on an app rail
     # catch the NEIGHBOR glyphs' edges at the crop border (round-5 teams
     # diagnosis: every left-rail icon crop contains slices of the icons
@@ -584,26 +693,55 @@ def render_icon_tile(
             # aa=False: the AA path crop/pastes an s x s patch, which
             # stamps black corners when the box hangs off the canvas
             _paste_icon(img, rng, nx, ny, s, fg, local, aa=False)
-    if rng.random() < 0.25:  # neighboring label text in the tile
+    if rng.random() < 0.35:  # neighboring label text in the tile
         label = sample_text(rng, max_chars=10)
-        f = pick_font(rng, label, int(rng.integers(9, 14)))
+        fsz = int(rng.integers(9, 14))
+        f = pick_font(rng, label, fsz)
         tc = theme.text if theme else _rand_color(rng, base)
-        ly = y + s + 2 if y + s + 14 < tile else max(y - 14, 0)
-        draw.text((max(x - 4, 0), ly), label, fill=tc, font=f)
+        if rng.random() < 0.55 and y + s + fsz + 4 < tile:
+            # rail-style: label centered BENEATH the glyph and (usually)
+            # INSIDE the returned box.  Round-5 teams.png audit: the
+            # detector boxes rail icons WITH their caption text
+            # ('Activity'/'Chat'/...), so inference crops are
+            # glyph+label composites — the captioner must learn that the
+            # small text row below does not change the glyph's kind.
+            lw = f.getlength(label)
+            lx = int(np.clip(x + s / 2 - lw / 2, 0, max(tile - lw - 1, 0)))
+            ly = y + s + 2
+            draw.text((lx, ly), label, fill=tc, font=f)
+            if rng.random() < 0.65:
+                gx1 = min(gx1, lx)
+                gx2 = max(gx2, min(int(lx + lw) + 1, tile))
+                gy2 = min(max(gy2, ly + fsz + 2), tile)
+        else:
+            ly = y + s + 2 if y + s + 14 < tile else max(y - 14, 0)
+            draw.text((max(x - 4, 0), ly), label, fill=tc, font=f)
+    # detector-overshoot box (~25%): real detector boxes run 1.3-2x the
+    # glyph (teams rail: gt 24px vs det 50px) — pad each side
+    # independently so the glyph sits off-center with extra context
+    if rng.random() < 0.25:
+        bw, bh = gx2 - gx1, gy2 - gy1
+        gx1 = int(max(gx1 - rng.uniform(0.05, 0.4) * bw, 0))
+        gy1 = int(max(gy1 - rng.uniform(0.05, 0.4) * bh, 0))
+        gx2 = int(min(gx2 + rng.uniform(0.05, 0.4) * bw, tile))
+        gy2 = int(min(gy2 + rng.uniform(0.05, 0.4) * bh, tile))
     arr = np.asarray(img, np.float32)
-    # scale roundtrip (~30%): real crops come from screenshots that were
+    # scale roundtrip (~45%): real crops come from screenshots that were
     # downscaled for upload (max_upload_side) and re-enlarged by the
-    # 64px crop-gather — soft, slightly aliased strokes
-    if rng.random() < 0.3:
+    # 64px crop-gather — soft, slightly aliased strokes.  The factor
+    # floor is 0.3: a 20 px real glyph blown up to the 64 px crop is a
+    # ~0.3x roundtrip, well below the old 0.45 floor (round-5 audit:
+    # the blurriest real crops all missed as 'image icon').
+    if rng.random() < 0.45:
         import cv2
 
-        f_ = float(rng.uniform(0.45, 0.8))
+        f_ = float(rng.uniform(0.22, 0.8))
         small = cv2.resize(arr, (max(int(tile * f_), 8),) * 2,
                            interpolation=cv2.INTER_AREA)
         arr = cv2.resize(small, (tile, tile),
                          interpolation=cv2.INTER_LINEAR)
     return _postprocess(arr, rng), kind, \
-        [x, y, x + s, y + s]
+        [gx1, gy1, gx2, gy2]
 
 
 def render_gui_scene(
@@ -675,11 +813,13 @@ def render_gui_scene(
         local = np.asarray(canvas)[y:y + th, x:x + tw].mean()
         draw.text((x - bx0, y - by0), text, fill=text_color(local), font=font)
         claim(x, y, tw, th)
-        # word-level GT (easyocr granularity; synth_text.split_words)
-        from omniparser_tpu.train.synth_text import split_words
+        # phrase-level GT (easyocr granularity; synth_text.split_phrases:
+        # merge words whose pixel gap < width_ths * height)
+        from omniparser_tpu.train.synth_text import split_phrases
 
-        for word, wx0, wx1 in split_words(text, font):
-            texts.append(word)
+        wths = float(rng.uniform(0.45, 0.62))
+        for phrase, wx0, wx1 in split_phrases(text, font, th, wths):
+            texts.append(phrase)
             text_boxes.append([int(x - bx0 + wx0), y,
                                min(int(x - bx0 + wx1), x + tw), y + th])
         return tw

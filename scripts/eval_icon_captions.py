@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--ckpt", default=None,
                     help="captioner checkpoint dir (default: shipped cap_synth)")
     ap.add_argument("--log", default=None, help="write per-crop JSONL here")
+    ap.add_argument("--pad", type=float, default=0.0,
+                    help="expand each GT box by this fraction per side "
+                         "(0.35 approximates the detector's overshoot on "
+                         "rails, which crops glyph+label composites)")
     args = ap.parse_args(argv)
 
     import jax
@@ -69,6 +73,13 @@ def main(argv=None):
             [[t["gt_bbox_px"][0] / w, t["gt_bbox_px"][1] / h,
               t["gt_bbox_px"][2] / w, t["gt_bbox_px"][3] / h]
              for t in icon_ts], np.float32)
+        if args.pad:
+            bw = boxes[:, 2] - boxes[:, 0]
+            bh = boxes[:, 3] - boxes[:, 1]
+            boxes[:, 0] = np.clip(boxes[:, 0] - args.pad * bw, 0, 1)
+            boxes[:, 1] = np.clip(boxes[:, 1] - args.pad * bh, 0, 1)
+            boxes[:, 2] = np.clip(boxes[:, 2] + args.pad * bw, 0, 1)
+            boxes[:, 3] = np.clip(boxes[:, 3] + args.pad * bh, 0, 1)
         dev = jnp.asarray(img)
         hw = jnp.asarray([h, w], jnp.int32)
         out = np.asarray(crop_resize_batch(
