@@ -76,6 +76,20 @@ class CaptionerConfig:
     # even on the tunneled dev chip (PERF.md round 3).  False = the round-2
     # single-dispatch graph (decode fused, all K slots).
     split_decode: bool = True
+    # decode-confidence floor: captions whose mean chosen-token log-prob
+    # falls below this become the junk phrase 'image icon'.  Real junk
+    # detector boxes (chrome fragments) that greedy-decode a glyph phrase
+    # do so at visibly lower confidence than true glyphs; emitting them
+    # verbatim creates DUPLICATE captions on icon-dense screens (round-5:
+    # teams.png had 3x 'send icon'), and any grounder — the scripted one
+    # or the reference's GPT-4o reading the element list — must then
+    # guess.  None = off (strict reference parity: util/utils.py:79-118
+    # keeps every caption) — and the DEFAULT, because measured round-5
+    # calibration (label-smoothed retrain, teams.png true-vs-junk logp)
+    # showed NO usable separation: junk crops genuinely decode glyph
+    # phrases as confidently as true glyphs on this model family.  The
+    # machinery stays for models whose confidence does separate.
+    min_logp: Optional[float] = None
     # model dims (florence-2-base); overridden by loaded checkpoints
     d_model: int = 768
     encoder_layers: int = 6

@@ -558,11 +558,15 @@ class Florence2(nn.Module):
 
 
 def greedy_generate(model: Florence2, params, pixel_values, prompt_ids,
-                    max_new_tokens: int = 20):
+                    max_new_tokens: int = 20, with_scores: bool = False):
     """Greedy KV-cache decode as one lax.scan — jit this whole function.
 
     Returns [B, max_new_tokens] int32 token ids, eos-stopped and pad-filled
     (matches the reference's generation args at util/utils.py:115).
+    With ``with_scores`` also returns the per-sequence MEAN log-prob of
+    the chosen tokens (pre-EOS) — a calibration-free decode-confidence
+    signal (the log_softmax adds one [B,V] reduction per step, noise next
+    to the matmuls).
     """
     d = model.dims
     cross_kvs, mask = model.apply(
@@ -582,19 +586,30 @@ def greedy_generate(model: Florence2, params, pixel_values, prompt_ids,
     cross_kvs = tuple(tuple(kv) for kv in cross_kvs)
 
     def step(carry, t):
-        tok, caches, done = carry
+        tok, caches, done, acc, cnt = carry
         logits, caches = model.apply(
             params, tok, t, mask, list(caches), list(cross_kvs),
             method=Florence2.decode_one,
         )
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        last = logits[:, -1]
+        nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        if with_scores:
+            lp = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+            tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+            acc = acc + jnp.where(done, 0.0, tok_lp)
+            cnt = cnt + jnp.where(done, 0, 1)
         nxt = jnp.where(done, d.pad_token_id, nxt)
         done = done | (nxt == d.eos_token_id)
-        return (nxt[:, None], tuple(caches), done), nxt
+        return (nxt[:, None], tuple(caches), done, acc, cnt), nxt
 
-    (_, _, _), tokens = jax.lax.scan(
-        step, (start, caches, jnp.zeros((b,), bool)), jnp.arange(max_new_tokens)
+    (_, _, _, acc, cnt), tokens = jax.lax.scan(
+        step,
+        (start, caches, jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32),
+         jnp.zeros((b,), jnp.int32)),
+        jnp.arange(max_new_tokens),
     )
+    if with_scores:
+        return tokens.T, acc / jnp.maximum(cnt, 1)
     return tokens.T  # [B, T]
 
 
@@ -678,7 +693,8 @@ class FlorenceCaptioner:
         self.params = params
         self._generate = jax.jit(
             lambda p, px, ids: greedy_generate(
-                self.model, p, px, ids, max_new_tokens=config.max_new_tokens
+                self.model, p, px, ids, max_new_tokens=config.max_new_tokens,
+                with_scores=True,
             )
         )
 
@@ -741,10 +757,25 @@ class FlorenceCaptioner:
                (self.dims.pad_token_id, self.dims.eos_token_id, self.dims.bos_token_id)]
         return self.tokenizer.decode(ids).strip()
 
+    def gate_caption(self, text: str, logp: float) -> str:
+        """Decode-confidence gate (CaptionerConfig.min_logp): captions
+        whose mean chosen-token log-prob falls below the floor become the
+        junk-class phrase.  Real junk detector boxes (chrome fragments,
+        partial widgets) that happen to greedy-decode a glyph phrase do
+        so at visibly lower confidence than true glyphs; emitting them
+        verbatim creates DUPLICATE captions on icon-dense screens, and a
+        grounder (scripted or LLM) must then guess among them."""
+        floor = self.config.min_logp
+        if floor is not None and logp < floor:
+            return "image icon"
+        return text
+
     def caption_crops(self, crops, valid) -> List[str]:
         """crops: [N, S, S, 3] float in [0,255] (device); valid: [N] bool.
         Returns captions for valid slots, in order."""
         n = crops.shape[0]
         prompt = jnp.asarray(np.tile(self.prompt_ids[None], (n, 1)))
-        tokens = np.asarray(self._generate(self.params, self.preprocess(crops), prompt))
-        return [self.tokens_to_text(tokens[i]) for i in range(n) if valid[i]]
+        tokens, logp = self._generate(self.params, self.preprocess(crops), prompt)
+        tokens, logp = np.asarray(tokens), np.asarray(logp)
+        return [self.gate_caption(self.tokens_to_text(tokens[i]), float(logp[i]))
+                for i in range(n) if valid[i]]

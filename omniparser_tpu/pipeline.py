@@ -250,8 +250,9 @@ class FusedParseStep:
                 if split:
                     out["crops"] = crops  # stays on device; decode_crops()
                 else:
-                    out["cap_tokens"] = greedy_generate(
-                        florence, cap_vars, preprocess(crops), prompt_k, max_new
+                    out["cap_tokens"], out["cap_logp"] = greedy_generate(
+                        florence, cap_vars, preprocess(crops), prompt_k,
+                        max_new, with_scores=True,
                     )
             return out
 
@@ -277,7 +278,8 @@ class FusedParseStep:
 
             def f(vars_, crops):
                 return greedy_generate(
-                    florence, vars_, preprocess(crops), prompt, max_new
+                    florence, vars_, preprocess(crops), prompt, max_new,
+                    with_scores=True,
                 )
 
             fn = jax.jit(f)
@@ -669,7 +671,9 @@ class SOMPipeline:
     def _collect_decode(self, ctx: Dict) -> None:
         fut = ctx.pop("tokens_fut", None)
         if fut is not None:
-            ctx["out"]["cap_tokens"] = np.asarray(jax.device_get(fut))
+            tok, logp = jax.device_get(fut)
+            ctx["out"]["cap_tokens"] = np.asarray(tok)
+            ctx["out"]["cap_logp"] = np.asarray(logp)
 
     # Cross-image batched caption decode (parse_batch only).  Eight serial
     # per-image decode dispatches pay eight scan/dispatch overheads and
@@ -723,10 +727,14 @@ class SOMPipeline:
         if not handle:
             return
         futs, offs = handle
-        rows = [np.asarray(jax.device_get(f))[:n] for f, n in futs]
+        got = [jax.device_get(f) for f, _ in futs]
+        rows = [np.asarray(t)[:n] for (t, _), (_, n) in zip(got, futs)]
+        lrows = [np.asarray(l)[:n] for (_, l), (_, n) in zip(got, futs)]
         tokens = rows[0] if len(rows) == 1 else np.concatenate(rows, axis=0)
+        logp = lrows[0] if len(lrows) == 1 else np.concatenate(lrows, axis=0)
         for ctx, off, need in offs:
             ctx["out"]["cap_tokens"] = tokens[off:off + need]
+            ctx["out"]["cap_logp"] = logp[off:off + need]
 
     def _fill_captions(self, ctx: Dict, icon_plain) -> None:
         """Fill content-less icon elements with captions: fused tokens for
@@ -739,13 +747,19 @@ class SOMPipeline:
         plain_elems = [e for _, e in icon_plain]
         if plain_elems and "cap_tokens" in out:
             cap = self.fused.captioner
-            by_src = {int(s): tok for s, tok, v in
-                      zip(out["cap_src"], out["cap_tokens"], out["cap_valid"]) if v}
+            logps = out.get("cap_logp")
+            if logps is None:  # pre-scores graph output (defensive)
+                logps = np.zeros(len(out["cap_tokens"]), np.float32)
+            by_src = {int(s): (tok, lp) for s, tok, lp, v in
+                      zip(out["cap_src"], out["cap_tokens"], logps,
+                          out["cap_valid"]) if v}
             missing = []
             for i, e in icon_plain:
-                tok = by_src.get(int(i))
-                if tok is not None:
-                    e["content"] = cap.tokens_to_text(tok)
+                hit = by_src.get(int(i))
+                if hit is not None:
+                    tok, lp = hit
+                    e["content"] = cap.gate_caption(
+                        cap.tokens_to_text(tok), float(lp))
                 else:
                     missing.append((i, e))
             if missing:  # > K content-less icons: batch the remainder

@@ -40,7 +40,7 @@ from omniparser_tpu.train.synth_text import (_FONT_FILES, _font, pick_font,
                                              sample_text)
 
 # bump to invalidate /tmp training-data caches when generators change
-DATA_VERSION = 19
+DATA_VERSION = 21
 
 ICON_KINDS = (
     "button", "gear", "hamburger", "magnifier", "arrow", "star", "cross",
@@ -485,46 +485,13 @@ def _draw_icon(draw, rng, x, y, s, fg, bg, kind: str | None = None) -> str:
                       (x2 - m - 1, y + m - q // 2),
                       (x2 - m - 1, y + m + q), (x + m + 2 * q - w - 1,
                                                 y + m + q * 3 // 2)], fill=fg)
-    elif kind == "thumbnail" and rng.random() < 0.5:
-        # structured noise patch (photo-thumbnail-like)
+    else:  # thumbnail: structured noise patch
         noise = np.random.default_rng(int(rng.integers(1 << 31))).integers(
             0, 255, (max(s // 4, 2), max(s // 4, 2), 3), dtype=np.uint8)
         from PIL import Image
 
         tile = Image.fromarray(noise).resize((s, s))
         draw._image.paste(tile, (x, y))
-    else:  # thumbnail: CHROME FRAGMENT — what real junk detector boxes
-        # hold (partial widgets/text/panel edges clipped at the box
-        # border, round-5 teams audit).  Training these as 'image icon'
-        # makes the junk class a confident attractor so non-glyph boxes
-        # don't steal real glyph phrases (duplicate captions break
-        # grounding even when the true element is captioned right).
-        # Drawn on an s x s tile so off-edge primitives CLIP at the box
-        # border (the real junk look) without bleeding onto the canvas.
-        from PIL import Image, ImageDraw
-
-        frag_tile = Image.new("RGB", (s, s), bg)
-        fd = ImageDraw.Draw(frag_tile)
-        for _ in range(int(rng.integers(2, 5))):
-            c = _rand_color(rng, bg, min_contrast=40)
-            prim = int(rng.integers(0, 4))
-            px = int(rng.integers(-s // 2, s))
-            py = int(rng.integers(-s // 2, s))
-            q = int(rng.integers(s // 3, s + s // 2))
-            if prim == 0:
-                fd.rectangle([px, py, px + q, py + q],
-                             outline=c, width=max(w // 2, 1))
-            elif prim == 1:
-                fd.line([px, py, px + q,
-                         py + int(rng.integers(-q // 3, q // 3 + 1))],
-                        fill=c, width=max(w // 2, 1))
-            elif prim == 2:
-                fd.rectangle([px, py, px + q, py + max(q // 4, 2)], fill=c)
-            else:
-                frag = sample_text(rng, max_chars=6)
-                fd.text((px, py), frag, fill=c,
-                        font=_font(_FONT_FILES[0], max(int(s * 0.4), 7)))
-        draw._image.paste(frag_tile, (x, y))
     return kind
 
 
@@ -575,14 +542,18 @@ def render_icon_tile(
     """
     from PIL import Image, ImageDraw
 
-    # NOTE on the 'thumbnail' junk class: round-5 first DOWN-weighted it
-    # (it absorbed too many real glyphs), which backfired — junk detector
-    # boxes then spread across real glyph phrases, and duplicate captions
-    # break grounding even when the TRUE element is captioned right (the
-    # grounder/LLM must guess among 3 'send icon's).  The junk class must
-    # instead be a *confident* attractor for non-glyph crops — see the
-    # chrome-fragment branch in _draw_icon — so real glyph captions stay
-    # unique on icon-dense screens.
+    # 'thumbnail' (noise-patch -> "image icon") is down-weighted to ~0.4x
+    # uniform: at full weight it absorbs too many real glyph crops
+    # (round-5 audit: 14/36 real misses answered 'image icon').  A
+    # round-5 "chrome fragment" junk-class experiment (draw partial
+    # widgets, train them as 'image icon' so junk detector boxes stop
+    # stealing glyph phrases) measured WORSE on the 36 real GT crops and
+    # the full real bench in all three trainings — removed again.
+    if kind is None:
+        kind = ICON_KINDS[int(rng.integers(0, len(ICON_KINDS)))]
+        if kind == "thumbnail" and rng.random() < 0.6:
+            kind = ICON_KINDS[int(rng.integers(0, len(ICON_KINDS)))]
+
     theme = sample_theme(rng)
     base = theme.base if theme else tuple(int(x) for x in rng.integers(0, 256, 3))
     img = Image.new("RGB", (tile, tile), base)

@@ -226,7 +226,18 @@ def train_captioner(
                              dec_in_dev[kind_ids])
         labels = labels_dev[kind_ids]
         mask = mask_dev[kind_ids]
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        # label smoothing keeps the decode CALIBRATED: trained to zero
+        # hard-CE loss the model emits logp ~ 0 for junk and glyph alike
+        # (measured round 5), which makes the decode-confidence gate
+        # (CaptionerConfig.min_logp) signal-free.  eps=0.1 caps the
+        # achievable per-token log-prob near log(0.9), and off-manifold
+        # crops land measurably below it.
+        eps = 0.1
+        v = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits)
+        onehot = jax.nn.one_hot(labels, v, dtype=logp.dtype)
+        smoothed = onehot * (1.0 - eps) + eps / v
+        ce = -(smoothed * logp).sum(-1)
         return (ce * mask).sum() / mask.sum(), _stats
 
     print(f"cap: generating {dataset_size} icon crops ...", flush=True)
